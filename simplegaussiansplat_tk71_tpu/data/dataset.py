@@ -1,0 +1,77 @@
+"""Camera/image dataset and batch iteration.
+
+Replaces the reference's GS_dataset + DataLoader usage (gs_model.py:13-30,
+gs_control.py:158-178): numpy-side shuffled batches of (P, K, image) with
+images loaded from <root>/images/<name> via PIL, plus the camera-extent
+computation used as the densify scene extent.
+"""
+
+import os
+
+import numpy as np
+
+
+def camera_extent(P: np.ndarray) -> float:
+    """Max distance from the mean camera translation (gs_model.py:23-30).
+
+    Note: the reference uses the raw P[:, :, 3] translation column (camera-
+    frame translation t = -R c), not camera centers; we match that behavior.
+    """
+    t = P[:, :, 3]
+    mean = t.mean(axis=0)
+    return float(np.linalg.norm(t - mean[None], axis=1).max())
+
+
+def load_image(root_dir: str, name: str) -> np.ndarray:
+    """(H, W, 3) float32 in [0, 1] from <root>/images/<name>
+    (Image_to_transform, gs_load_colmap.py:7-23)."""
+    from PIL import Image
+
+    path = os.path.join(root_dir, "images", name)
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+class SceneDataset:
+    """Shuffled mini-batch iterator over a scene's cameras."""
+
+    def __init__(self, scene, root_dir: str | None = None, images: np.ndarray | None = None):
+        """scene: ColmapScene (or any object with P, K, wh, image_names).
+
+        images: optional preloaded (M, H, W, 3) float32 stack; if None and
+        root_dir given, images are loaded lazily per batch from disk.
+        """
+        self.scene = scene
+        self.root_dir = root_dir
+        self._images = images
+        self.extent = camera_extent(scene.P)
+        wh = np.asarray(scene.wh)
+        if not (wh == wh[0]).all():
+            raise ValueError("all cameras must share one image size (static shapes)")
+        self.img_wh = (int(wh[0, 0]), int(wh[0, 1]))
+
+    def __len__(self):
+        return len(self.scene.P)
+
+    def get_images(self, idx) -> np.ndarray:
+        if self._images is not None:
+            return self._images[idx]
+        out = np.stack(
+            [load_image(self.root_dir, self.scene.image_names[i]) for i in idx]
+        )
+        return out
+
+    def batches(self, batch_size: int, seed: int = 0, epochs: int | None = None):
+        """Yield (P, K, images, indices) shuffled each epoch
+        (DataLoader(shuffle=True), gs_control.py:160-166)."""
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(self))
+            for s in range(0, len(order), batch_size):
+                idx = order[s : s + batch_size]
+                if len(idx) < batch_size:
+                    # static shapes: wrap around instead of a ragged last batch
+                    idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                yield self.scene.P[idx], self.scene.K[idx], self.get_images(idx), idx
+            epoch += 1

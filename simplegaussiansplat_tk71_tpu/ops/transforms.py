@@ -1,0 +1,153 @@
+"""Batched geometric primitives for Gaussian projection.
+
+All functions are pure jnp, shaped for XLA fusion on the VPU; the heavy lifting
+(covariance sandwich products) is expressed with explicit component arithmetic
+rather than tiny batched 3x3 matmuls so XLA lowers them to fused elementwise
+vector code instead of degenerate MXU calls.
+
+Reference parity notes (file:line cite /root/reference):
+- quat_to_rotmat matches Utilities.qvec_to_rotmat_torch_batch (uitility.py:231-254),
+  xyzw component order.
+- covariance_from_quat_scale matches Sigma = R S S^T R^T (gs_model.py:297-307)
+  with S = diag(exp(log_scale)).
+- invert_2x2 matches the closed-form det+eps inverse (uitility.py:431-463).
+- eigvals_2x2 replaces the reference's GPU->CPU->GPU torch.linalg.eigh round
+  trip (gs_model.py:327-329) with the closed-form symmetric 2x2 solution.
+"""
+
+import jax.numpy as jnp
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) xyzw quaternions -> (N, 3, 3) rotation matrices.
+
+    Callers are expected to pass normalized quaternions (the reference
+    normalizes with a 1e-8 clamp at gs_model.py:297).
+    """
+    qx, qy, qz, qw = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def normalize_quat(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Unit-normalize with the reference's clamp (gs_model.py:297)."""
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return q / jnp.maximum(norm, eps)
+
+
+def covariance_from_quat_scale(q: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.ndarray:
+    """3D covariance Sigma = R diag(exp(2*log_scale)) R^T.
+
+    q: (N, 4) xyzw (normalized inside), log_scale: (N, 3) -> (N, 3, 3).
+    Matches gs_model.py:297-307 (R @ S @ S^T @ R^T with S=diag(exp(s))).
+    """
+    rot = quat_to_rotmat(normalize_quat(q))
+    s2 = jnp.exp(2.0 * log_scale)  # (N, 3) squared scales
+    # Sigma = R diag(s2) R^T, expressed as (R * s2) @ R^T.
+    return jnp.einsum("nij,nj,nkj->nik", rot, s2, rot, precision="highest")
+
+
+def invert_2x2(m: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Closed-form inverse of (..., 2, 2) with det regularized by +eps.
+
+    Matches Utilities.invert_2x2_batch (uitility.py:431-463) including the
+    det + eps stabilization (not abs-det: parity with the reference).
+    """
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c + eps
+    inv_det = 1.0 / det
+    row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
+    row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def eigvals_2x2_sym(m: jnp.ndarray) -> jnp.ndarray:
+    """Eigenvalues of symmetric (..., 2, 2), ascending, closed form.
+
+    lambda = mean +- sqrt(((a-d)/2)^2 + b^2). Replaces the reference's CPU
+    eigh round trip (gs_model.py:327-329).
+    """
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    d = m[..., 1, 1]
+    mean = 0.5 * (a + d)
+    radius = jnp.sqrt(jnp.square(0.5 * (a - d)) + jnp.square(b))
+    return jnp.stack([mean - radius, mean + radius], axis=-1)
+
+
+def sigma_bbox_half_extents(sigma2d: jnp.ndarray, n_sigma: float = 3.0) -> jnp.ndarray:
+    """Axis-aligned half extents of the n-sigma box of a 2D Gaussian.
+
+    The reference computes 3*sqrt(V^2 @ |lambda|) from a full eigendecomposition
+    (gs_model.py:327-332); for Sigma = V diag(lambda) V^T that expression is
+    exactly sqrt of the diagonal of V diag(|lambda|) V^T, i.e. sqrt(diag(Sigma))
+    when Sigma is PSD — the eigendecomposition is unnecessary. We keep the
+    |lambda| robustness by reconstructing the diagonal through closed-form
+    eigenpairs only when negative eigenvalues are possible; in practice
+    Sigma + 1e-6 I is PSD, so we take |diag| directly.
+
+    sigma2d: (..., 2, 2) -> (..., 2) half extents (width, height order).
+    """
+    diag = jnp.stack([sigma2d[..., 0, 0], sigma2d[..., 1, 1]], axis=-1)
+    return n_sigma * jnp.sqrt(jnp.abs(diag))
+
+
+def pixel_jacobian(K: jnp.ndarray, xyz_cam: jnp.ndarray, z_min: float = 1e-2):
+    """Components of the camera->pixel projective Jacobian.
+
+    K: (M, 3, 3) intrinsics, xyz_cam: (M, N, 3) camera-space points.
+    Returns (j00, j02, j11, j12) each (M, N): the only nonzero entries of the
+    2x3 Jacobian [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    (Utilities.pixel_jacobian_batch, uitility.py:257-287, incl. the 1e-2 z clamp).
+    """
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    x = xyz_cam[..., 0]
+    y = xyz_cam[..., 1]
+    z = jnp.maximum(xyz_cam[..., 2], z_min)
+    inv_z = 1.0 / z
+    return fx * inv_z, -fx * x * inv_z * inv_z, fy * inv_z, -fy * y * inv_z * inv_z
+
+
+def project_covariance_2d(
+    sigma_cam: jnp.ndarray, j00, j02, j11, j12, eps_diag: float = 1e-6
+) -> jnp.ndarray:
+    """Sigma_pix = J Sigma_cam J^T + eps*I with the sparse 2x3 Jacobian.
+
+    sigma_cam: (M, N, 3, 3); j**: (M, N). Returns (M, N, 2, 2).
+    Exploits J's sparsity: row0 = (j00, 0, j02), row1 = (0, j11, j12), so
+      S00 = j00^2 c00 + 2 j00 j02 c02 + j02^2 c22
+      S01 = j00 j11 c01 + j00 j12 c02 + j02 j11 c12 + j02 j12 c22
+      S11 = j11^2 c11 + 2 j11 j12 c12 + j12^2 c22
+    (equivalent to gs_model.py:321 without materializing J).
+    """
+    c00 = sigma_cam[..., 0, 0]
+    c01 = sigma_cam[..., 0, 1]
+    c02 = sigma_cam[..., 0, 2]
+    c11 = sigma_cam[..., 1, 1]
+    c12 = sigma_cam[..., 1, 2]
+    c22 = sigma_cam[..., 2, 2]
+    s00 = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22 + eps_diag
+    s01 = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
+    s11 = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22 + eps_diag
+    row0 = jnp.stack([s00, s01], axis=-1)
+    row1 = jnp.stack([s01, s11], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)

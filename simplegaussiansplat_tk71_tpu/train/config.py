@@ -1,0 +1,71 @@
+"""Training configuration.
+
+Defaults are the reference's "simple mode" values (gs_control.py:24-49), which
+mirror the official-3DGS hyperparameters preserved in its comments
+(gs_control.py:69-92). The reference configures itself through interactive
+stdin prompts; here it is a dataclass usable from code, CLI flags, or JSON.
+"""
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # schedule (gs_control.py:25-38)
+    iterations: int = 30_000
+    batch_size: int = 3  # gs_control.py:107
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000  # round(iterations / 2), gs_control.py:30
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+
+    # loss (gs_control.py:29, :180-182)
+    loss_lambda: float = 0.2
+    ssim_window: int = 11
+
+    # init (gs_control.py:27-28, :111-118)
+    knn_points: int = 3
+    opacity_init: float = 0.1
+    sh_degree: int = 2  # L_max, gs_model.py:139
+    sh_c00: float = 1.77  # gs_model.py:139
+
+    # densify thresholds (gs_control.py:31-35)
+    grad_threshold: float = 0.0004  # limit_upper_grad
+    percent_dense: float = 0.01
+    prune_min_opacity: float = 0.005
+    reset_opacity_min: float = 0.01
+    split_n: int = 2  # gs_model.py:201
+
+    # learning rates (gs_control.py:42-49)
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.025
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+
+    # renderer
+    tile_size: int = 16
+    max_per_tile: int = 512
+    max_pairs: Optional[int] = None
+    tile_chunk: int = 64
+    bbox_max_frac: float = 0.4  # tile_max_width quirk, gs_model.py:364-365
+
+    # behavior quirks
+    reset_adam_every_step: bool = False  # reference does this (gs_control.py:199)
+    reset_stats_after_densify: bool = False  # reference never resets (SURVEY 3.3)
+
+    # io
+    checkpoint_every: int = 1000  # gs_control.py:226
+    seed: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        return cls(**json.loads(text))

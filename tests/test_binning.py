@@ -1,0 +1,100 @@
+import numpy as np
+import jax.numpy as jnp
+
+from simplegaussiansplat_tk71_tpu.ops import binning
+
+
+def _bins_to_dict(bins, T):
+    out = {}
+    ids = np.asarray(bins.ids)
+    mask = np.asarray(bins.mask)
+    for t in range(T):
+        out[t] = list(ids[t][mask[t]])
+    return out
+
+
+def test_single_gaussian_single_tile():
+    mean2d = jnp.array([[8.0, 8.0]])
+    bbox = jnp.array([[2.0, 2.0]])
+    depth = jnp.array([1.0])
+    valid = jnp.array([True])
+    bins = binning.bin_gaussians(mean2d, bbox, depth, valid, (32, 32), 16, 64, 8)
+    d = _bins_to_dict(bins, 4)
+    assert d == {0: [0], 1: [], 2: [], 3: []}
+    assert int(bins.num_pairs) == 1
+
+
+def test_gaussian_spanning_tiles():
+    # centered on the 4-tile corner -> covers all 4 tiles
+    mean2d = jnp.array([[16.0, 16.0]])
+    bbox = jnp.array([[3.0, 3.0]])
+    bins = binning.bin_gaussians(
+        mean2d, bbox, jnp.array([1.0]), jnp.array([True]), (32, 32), 16, 64, 8
+    )
+    d = _bins_to_dict(bins, 4)
+    assert d == {0: [0], 1: [0], 2: [0], 3: [0]}
+    assert int(bins.num_pairs) == 4
+
+
+def test_depth_sorted_within_tile():
+    rng = np.random.default_rng(0)
+    n = 30
+    mean2d = jnp.asarray(rng.uniform(0, 32, size=(n, 2)).astype(np.float32))
+    bbox = jnp.full((n, 2), 1.5)
+    depth = jnp.asarray(rng.uniform(1, 5, size=(n,)).astype(np.float32))
+    valid = jnp.ones(n, bool)
+    bins = binning.bin_gaussians(mean2d, bbox, depth, valid, (32, 32), 16, 512, 32)
+    ids = np.asarray(bins.ids)
+    mask = np.asarray(bins.mask)
+    dd = np.asarray(depth)
+    for t in range(4):
+        seq = dd[ids[t][mask[t]]]
+        assert (np.diff(seq) >= 0).all(), seq
+
+
+def test_matches_bruteforce_overlap():
+    rng = np.random.default_rng(1)
+    n = 50
+    W = H = 64
+    ts = 16
+    mean2d = rng.uniform(-5, W + 5, size=(n, 2)).astype(np.float32)
+    bbox = rng.uniform(0.5, 10, size=(n, 2)).astype(np.float32)
+    depth = rng.uniform(1, 5, size=(n,)).astype(np.float32)
+    valid = rng.uniform(size=n) > 0.2
+    bins = binning.bin_gaussians(
+        jnp.asarray(mean2d), jnp.asarray(bbox), jnp.asarray(depth),
+        jnp.asarray(valid), (W, H), ts, 2048, 64,
+    )
+    ntx = W // ts
+    got = _bins_to_dict(bins, (W // ts) * (H // ts))
+    for t, members in got.items():
+        tx, ty = t % ntx, t // ntx
+        expect = set()
+        for g in range(n):
+            if not valid[g]:
+                continue
+            # same span rule as the implementation: clipped floor of box edges
+            x0 = min(max(np.floor((mean2d[g, 0] - bbox[g, 0]) / ts), 0), ntx - 1)
+            x1 = min(max(np.floor((mean2d[g, 0] + bbox[g, 0]) / ts), 0), ntx - 1)
+            y0 = min(max(np.floor((mean2d[g, 1] - bbox[g, 1]) / ts), 0), ntx - 1)
+            y1 = min(max(np.floor((mean2d[g, 1] + bbox[g, 1]) / ts), 0), ntx - 1)
+            if x0 <= tx <= x1 and y0 <= ty <= y1:
+                expect.add(g)
+        assert set(members) == expect, (t, sorted(members), sorted(expect))
+    assert int(bins.dropped_pairs) == 0
+    assert int(bins.truncated) == 0
+
+
+def test_overflow_reported():
+    n = 20
+    mean2d = jnp.tile(jnp.array([[8.0, 8.0]]), (n, 1))
+    bbox = jnp.full((n, 2), 1.0)
+    depth = jnp.arange(n, dtype=jnp.float32)
+    valid = jnp.ones(n, bool)
+    bins = binning.bin_gaussians(
+        mean2d, bbox, depth, valid, (16, 16), 16, max_pairs=64, max_per_tile=8
+    )
+    assert int(bins.truncated) == n - 8
+    # the kept 8 are the nearest by depth
+    ids = np.asarray(bins.ids[0][np.asarray(bins.mask[0])])
+    assert set(ids) == set(range(8))
