@@ -1,0 +1,101 @@
+"""Benchmark: fwd+bwd rays/s at 1M Gaussians, 800x800, one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference trains at ~1 s/iteration for a 3-camera
+batch of 400x266-ish images on a GTX 1660 Super (2025_11_06 seminar note), i.e.
+~3.2e5 rays/s fwd+bwd. vs_baseline = ours / 3.2e5.
+
+Extra diagnostic fields go to stderr, never stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_S = 3 * 400 * 266 / 1.0  # ~3.19e5 (BASELINE.md)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+    from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
+    from simplegaussiansplat_tk71_tpu.train.trainer import make_train_step
+
+    log("devices:", jax.devices())
+    W = H = 800
+    N = 1_000_000
+    rng = np.random.default_rng(0)
+
+    # synthetic 1M-gaussian scene framed by the camera
+    xyz = rng.normal(size=(N, 3)).astype(np.float32) * 2.0
+    xyz[:, 2] = np.abs(xyz[:, 2]) + 4.0
+    model = init_from_points(
+        xyz, rng.uniform(0.004, 0.02, N).astype(np.float32), capacity=None
+    )
+    sh = np.array(model.sh)
+    sh[:N, 0] = rng.uniform(0.5, 3.0, size=(N, 3))
+    model = model._replace(sh=jnp.asarray(sh))
+    f = 600.0
+    P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    K = jnp.asarray(np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
+
+    cfg = TrainConfig()
+    rcfg = RenderConfig(
+        tile_size=16,
+        max_per_tile=512,
+        max_pairs=8 * model.capacity,
+        tile_chunk=125,
+    )
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, rcfg, (W, H), opt)
+
+    params = model.trainable()
+    opt_state = opt.init(params)
+    stats = DensifyStats.zeros(model.capacity)
+
+    log("compiling...")
+    t0 = time.time()
+    out = step(params, model.alive, opt_state, stats, P, K, target)
+    jax.block_until_ready(out)
+    log(f"first step (compile): {time.time() - t0:.1f}s")
+    p, o, s, m = out
+    log(
+        "metrics:", {k: float(v) for k, v in m.items()},
+    )
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        p, o, s, m = step(p, model.alive, o, s, P, K, target)
+    jax.block_until_ready(p)
+    dt = (time.time() - t0) / iters
+    rays_per_s = W * H / dt
+    log(f"steady-state: {dt * 1e3:.1f} ms/step -> {rays_per_s:.3e} rays/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_per_chip_fwd_bwd_1M_800x800",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / REFERENCE_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

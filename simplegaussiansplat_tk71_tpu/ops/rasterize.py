@@ -72,6 +72,9 @@ def _forward_dense(mu, con, col, op, mask, pix):
     g = jnp.exp(-0.5 * q)
     alpha = op[:, :, None] * g
     alpha = jnp.where(mask[:, :, None], alpha, 0.0)
+    # Masked slots can gather garbage attributes (incl. NaN after a divergent
+    # step): zero the colors too so 0-weight x NaN-color cannot poison the sum.
+    col = jnp.where(mask[:, :, None], col, 0.0)
     anti = 1.0 - alpha
     # exclusive cumprod along depth: T_k = prod_{j<k} anti_j
     t_incl = jnp.cumprod(anti, axis=1)
@@ -101,6 +104,7 @@ def _composite_bwd(res, g_img):
     _, (dx, dy, g, alpha, anti, t_excl, w) = _forward_dense(
         mu, con, col, op, mask, pix
     )
+    col = jnp.where(mask[:, :, None], col, 0.0)  # garbage-gather guard (see fwd)
     # c_k(p) = <dL/dI(p), col_k>  (T, K, P)
     ck = jnp.einsum("tpc,tkc->tkp", g_img, col, precision="highest")
     wk = w * ck  # fragment pixel-grad  w_k = <dL/dI, p_k>

@@ -15,6 +15,7 @@ Reference parity notes (file:line cite /root/reference):
   trip (gs_model.py:327-329) with the closed-form symmetric 2x2 solution.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,9 +46,14 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_quat(q: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
-    """Unit-normalize with the reference's clamp (gs_model.py:297)."""
-    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
-    return q / jnp.maximum(norm, eps)
+    """Unit-normalize with the reference's clamp (gs_model.py:297).
+
+    Uses rsqrt(|q|^2 + eps^2) rather than /max(norm, eps): the clamped form
+    has a NaN vjp at q = 0 (norm's gradient is 0/0 there), and dead
+    capacity-padding rows can legitimately hold zero quaternions.
+    """
+    norm_sq = jnp.sum(jnp.square(q), axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(norm_sq + eps * eps)
 
 
 def covariance_from_quat_scale(q: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.ndarray:

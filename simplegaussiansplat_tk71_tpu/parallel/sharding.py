@@ -1,0 +1,87 @@
+"""Multi-chip training step: cameras sharded, parameters replicated.
+
+Data-parallel layout over the ``data`` mesh axis (SURVEY.md section 2b):
+
+- camera batch (P, K, target images) sharded along the data axis — each chip
+  renders and differentiates its own cameras;
+- Gaussian parameters + optimizer state replicated; per-chip parameter
+  gradients are all-reduced with ``psum`` over ICI before the (replicated)
+  Adam update, so every chip applies the identical update;
+- densify statistics (grad norms, visibility) are likewise psum'd so the
+  host-side densify sees global statistics.
+
+The rasterization inside each chip is already tile-parallel (vectorized over
+its cameras' tiles); a gauss-axis sharding for projection at very large N is
+the next layer (see SURVEY.md section 7.2 item 5).
+
+Built on shard_map so the collectives are explicit and XLA can overlap the
+psum with backward compute.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+from simplegaussiansplat_tk71_tpu.render import render_params
+from simplegaussiansplat_tk71_tpu.train.loss import photometric_loss
+
+
+def make_sharded_train_step(
+    mesh, config, render_cfg, img_wh, optimizer, axis_name: str = "data"
+):
+    """Returns a jitted step: (params, alive, opt_state, stats, Pm, Km, target)
+    -> (params, opt_state, stats, metrics). Camera-batch inputs must have
+    leading dim divisible by mesh.shape[axis_name]."""
+
+    def local_loss(params, alive, Pm, Km, target):
+        images, aux = render_params(params, alive, Pm, Km, img_wh, render_cfg)
+        loss, (l1, dssim) = photometric_loss(
+            images, target, config.loss_lambda, config.ssim_window
+        )
+        return loss, (l1, dssim, aux)
+
+    def step(params, alive, opt_state, stats, Pm, Km, target):
+        (loss, (l1, dssim, aux)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, alive, Pm, Km, target)
+        # gradient all-reduce over ICI; mean to keep lrs batch-size invariant
+        grads = jax.lax.pmean(grads, axis_name)
+        loss = jax.lax.pmean(loss, axis_name)
+        l1 = jax.lax.pmean(l1, axis_name)
+        dssim = jax.lax.pmean(dssim, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        visible = jax.lax.psum(aux.visible.astype(jnp.int32), axis_name)
+        stats = DensifyStats(
+            grad_norm_accum=stats.grad_norm_accum + gnorm,
+            visible_count=stats.visible_count + (visible > 0).astype(jnp.int32),
+        )
+        metrics = {
+            "loss": loss,
+            "l1": l1,
+            "dssim": dssim,
+            "dropped_pairs": jax.lax.psum(jnp.sum(aux.dropped_pairs), axis_name),
+            "truncated": jax.lax.psum(jnp.sum(aux.truncated), axis_name),
+        }
+        return params, opt_state, stats, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params replicated
+            P(),  # alive replicated
+            P(),  # opt_state replicated
+            P(),  # stats replicated
+            P(axis_name),  # cameras sharded
+            P(axis_name),
+            P(axis_name),  # target images sharded
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,96 @@
+"""Checkpoint save/load.
+
+Unlike the reference — which torch.saves only the five parameter tensors with
+no optimizer state, step counter, or any loading code (gs_control.py:226-231;
+SURVEY.md section 5) — checkpoints here capture the full training state:
+parameters + alive mask, optimizer state, densify stats, and the step.
+
+Format: a single .npz of flattened pytree leaves keyed by path (portable,
+no pickle of custom classes), plus loaders for the reference's torch ``.pt``
+artifacts (mean.pt / opacity.pt / ...) for parity-config initialization.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
+
+
+def _flatten(prefix, tree, out):
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves:
+        key = prefix + "".join(str(p) for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def save_checkpoint(path: str, model: GaussianModel, opt_state, stats, step: int):
+    arrays = {}
+    _flatten("model", model, arrays)
+    _flatten("opt", opt_state, arrays)
+    _flatten("stats", stats, arrays)
+    arrays["step"] = np.asarray(step)
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_checkpoint(path: str, model_like: GaussianModel, opt_state_like, stats_like):
+    """Restore into the same pytree structure (shapes must match)."""
+    data = np.load(path)
+
+    def restore(prefix, tree):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        new_leaves = []
+        for pathkey, leaf in leaves:
+            key = prefix + "".join(str(p) for p in pathkey)
+            arr = data[key]
+            new_leaves.append(jnp.asarray(arr))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    model = restore("model", model_like)
+    opt_state = restore("opt", opt_state_like)
+    stats = restore("stats", stats_like)
+    step = int(data["step"])
+    return model, opt_state, stats, step
+
+
+def load_reference_pt(directory: str, sh_degree: int = 2):
+    """Load the reference's raw torch.save parameter files into a
+    GaussianModel (mean.pt, variance_q.pt, variance_scale.pt, opacity.pt,
+    color.pt — save code gs_control.py:226-231). Requires torch (cpu)."""
+    import torch
+
+    def get(name):
+        t = torch.load(
+            os.path.join(directory, name), map_location="cpu", weights_only=False
+        )
+        return np.asarray(t.detach().to(torch.float32).numpy())
+
+    mean = get("mean.pt")
+    quat = get("variance_q.pt")
+    log_scale = get("variance_scale.pt")
+    logit_op = get("opacity.pt")
+    sh = get("color.pt")  # (N, B, 3)
+    from simplegaussiansplat_tk71_tpu.models.gaussians import round_capacity
+
+    n = mean.shape[0]
+    cap = round_capacity(n)
+
+    def pack(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    return GaussianModel(
+        mean=pack(mean),
+        quat=pack(quat),
+        log_scale=pack(log_scale, -10.0),
+        logit_opacity=pack(logit_op),
+        sh=pack(sh),
+        alive=jnp.asarray(np.arange(cap) < n),
+    )

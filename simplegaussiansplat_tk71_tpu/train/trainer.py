@@ -1,0 +1,191 @@
+"""Training loop: jitted step + host-side densify scheduling.
+
+The reference's Control.learning (gs_control.py:98-244) redone for XLA: one
+jit-compiled train step (render -> loss -> analytic+auto VJP -> Adam update ->
+stats accumulation) over static capacity shapes, with densify/prune/opacity
+resets applied on host at their scheduled intervals (shapes only change there,
+and only in capacity buckets).
+
+Differences from the reference, by design:
+- Adam state persists across steps (the reference rebuilds Adam every
+  iteration, gs_control.py:197-199 + gs_model.py:43-47, silently resetting
+  moments; set TrainConfig.reset_adam_every_step=True for that behavior).
+- After densify/prune the optimizer state is re-initialized (the reference
+  also rebuilds Adam there, gs_model.py:263).
+- No recursive retry-on-exception (gs_control.py:241-244); failures raise.
+"""
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simplegaussiansplat_tk71_tpu.adaptive.densify import (
+    DensifyStats,
+    densify_and_prune,
+    reset_opacity,
+)
+from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
+from simplegaussiansplat_tk71_tpu.render import RenderConfig, render_params
+from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+from simplegaussiansplat_tk71_tpu.train.loss import photometric_loss
+from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
+
+
+def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optimizer):
+    """Build the jitted train step over static shapes.
+
+    Signature: (params, alive, opt_state, stats, P, K, target)
+      -> (params, opt_state, stats, metrics dict)
+    """
+
+    def loss_fn(params, alive, P, K, target):
+        images, aux = render_params(params, alive, P, K, img_wh, render_cfg)
+        loss, (l1, dssim) = photometric_loss(
+            images, target, config.loss_lambda, config.ssim_window
+        )
+        return loss, (l1, dssim, aux)
+
+    @jax.jit
+    def train_step(params, alive, opt_state, stats, P, K, target):
+        (loss, (l1, dssim, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, alive, P, K, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        # densify stats: accumulated ||dL/dmean|| + visibility counter
+        # (param_iter_update, gs_model.py:190-194)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        stats = DensifyStats(
+            grad_norm_accum=stats.grad_norm_accum + gnorm,
+            visible_count=stats.visible_count + aux.visible.astype(jnp.int32),
+        )
+        metrics = {
+            "loss": loss,
+            "l1": l1,
+            "dssim": dssim,
+            "dropped_pairs": jnp.sum(aux.dropped_pairs),
+            "truncated": jnp.sum(aux.truncated),
+        }
+        return params, opt_state, stats, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Drives training of one scene. See cli.py for end-to-end usage."""
+
+    def __init__(
+        self,
+        model: GaussianModel,
+        dataset,
+        config: TrainConfig = TrainConfig(),
+        render_cfg: Optional[RenderConfig] = None,
+        log_fn=print,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.render_cfg = render_cfg or RenderConfig(
+            tile_size=config.tile_size,
+            max_per_tile=config.max_per_tile,
+            max_pairs=config.max_pairs,
+            tile_chunk=config.tile_chunk,
+            sh_degree=config.sh_degree,
+            bbox_max_frac=config.bbox_max_frac,
+        )
+        self.model = model
+        self.optimizer = make_optimizer(config)
+        self.opt_state = self.optimizer.init(model.trainable())
+        self.stats = DensifyStats.zeros(model.capacity)
+        self.step = 0
+        self.extent = dataset.extent if dataset is not None else 1.0
+        self.log = log_fn
+        self._rng = np.random.default_rng(config.seed)
+        self._train_step = make_train_step(
+            config, self.render_cfg, dataset.img_wh, self.optimizer
+        )
+
+    def _reinit_opt(self):
+        self.opt_state = self.optimizer.init(self.model.trainable())
+        self._train_step = make_train_step(
+            self.config, self.render_cfg, self.dataset.img_wh, self.optimizer
+        )
+
+    def run_step(self, P, K, target):
+        """One optimization step on a batch of cameras."""
+        params = self.model.trainable()
+        if self.config.reset_adam_every_step:
+            self.opt_state = self.optimizer.init(params)
+        params, self.opt_state, self.stats, metrics = self._train_step(
+            params, self.model.alive, self.opt_state, self.stats,
+            jnp.asarray(P), jnp.asarray(K), jnp.asarray(target),
+        )
+        self.model = self.model.with_trainable(params)
+        self.step += 1
+
+        cfg = self.config
+        if (
+            cfg.densify_from_iter <= self.step <= cfg.densify_until_iter
+            and self.step % cfg.densification_interval == 0
+        ):
+            self.model, self.stats, info = densify_and_prune(
+                self.model,
+                self.stats,
+                self.extent,
+                grad_threshold=cfg.grad_threshold,
+                percent_dense=cfg.percent_dense,
+                prune_min_opacity=cfg.prune_min_opacity,
+                split_n=cfg.split_n,
+                rng=self._rng,
+                reset_stats=cfg.reset_stats_after_densify,
+            )
+            self._reinit_opt()
+            self.log(
+                f"[densify @ {self.step}] split={info['split']} "
+                f"clone={info['clone']} prune={info['prune']} alive={info['alive']}"
+            )
+        if (
+            cfg.opacity_reset_interval
+            and self.step % cfg.opacity_reset_interval == 0
+        ):
+            self.model = reset_opacity(self.model, cfg.reset_opacity_min)
+            self._reinit_opt()
+            self.log(f"[opacity reset @ {self.step}]")
+        return metrics
+
+    def train(self, num_steps: Optional[int] = None, checkpoint_dir: Optional[str] = None):
+        """Run the full schedule over shuffled camera batches."""
+        from simplegaussiansplat_tk71_tpu.train.checkpoint import save_checkpoint
+
+        num_steps = num_steps or self.config.iterations
+        t_start = time.time()
+        loss_sum = 0.0
+        for P, K, images, _ in self.dataset.batches(
+            self.config.batch_size, seed=self.config.seed
+        ):
+            t0 = time.time()
+            metrics = self.run_step(P, K, images)
+            loss = float(metrics["loss"])
+            loss_sum += loss
+            if self.step % 10 == 0 or self.step <= 3:
+                dt = time.time() - t0
+                self.log(
+                    f"step {self.step}: loss={loss:.5f} "
+                    f"avg={loss_sum / self.step:.5f} {dt:.3f}s/it "
+                    f"alive={int(self.model.num_alive())} "
+                    f"trunc={int(metrics['truncated'])}"
+                )
+            if checkpoint_dir and self.step % self.config.checkpoint_every == 0:
+                save_checkpoint(
+                    f"{checkpoint_dir}/ckpt_{self.step}.npz",
+                    self.model, self.opt_state, self.stats, self.step,
+                )
+            if self.step >= num_steps:
+                break
+        self.log(
+            f"done: {self.step} steps in {(time.time() - t_start) / 60:.1f} min"
+        )
+        return self.model

@@ -16,9 +16,11 @@ import numpy as np
 
 @functools.lru_cache
 def _gaussian_kernel1d(window_size: int, sigma: float):
+    # pure numpy on purpose: a cached jnp array created inside a jit trace
+    # would leak a tracer into later traces
     x = np.arange(window_size, dtype=np.float64) - (window_size - 1) / 2.0
     k = np.exp(-0.5 * (x / sigma) ** 2)
-    return jnp.asarray((k / k.sum()).astype(np.float32))
+    return (k / k.sum()).astype(np.float32)
 
 
 def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:

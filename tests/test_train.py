@@ -1,0 +1,153 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+from simplegaussiansplat_tk71_tpu.data.colmap import ColmapScene
+
+
+def _synthetic_scene(n=30, n_cams=4, W=48, H=32, seed=0, gauss_scale=0.25,
+                     cam_spread=0.8):
+    """GT model renders the target images; a perturbed model must re-fit.
+
+    cam_spread controls the camera-translation extent: densify pruning drops
+    gaussians with max(scale) > 0.1 * extent, so tests exercising densify need
+    extent comfortably above 10x the gaussian scale.
+    """
+    rng = np.random.default_rng(seed)
+    xyz = (rng.normal(size=(n, 3)) * 0.6).astype(np.float32)
+    xyz[:, 2] += 4.0
+    gt = init_from_points(xyz, np.full(n, gauss_scale, np.float32), capacity=64)
+    sh = np.array(gt.sh)
+    sh[:n, 0] = rng.uniform(0.5, 3.0, size=(n, 3))
+    gt = gt._replace(sh=jnp.asarray(sh))
+
+    f = 55.0
+    Ps, Ks = [], []
+    for i in range(n_cams):
+        ang = 0.12 * (i - n_cams / 2)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([cam_spread * (i - n_cams / 2), 0, 0], np.float32)
+        Ps.append(np.concatenate([R, t[:, None]], 1))
+        Ks.append(np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32))
+    P = np.stack(Ps)
+    K = np.stack(Ks)
+    cfg = RenderConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
+    images, _ = render(gt, jnp.asarray(P), jnp.asarray(K), (W, H), cfg)
+    scene = ColmapScene(
+        xyz=xyz, rgb=np.zeros((n, 3), np.uint8), P=P, K=K,
+        wh=np.tile([[W, H]], (n_cams, 1)).astype(np.int32),
+        image_names=[f"cam{i}" for i in range(n_cams)],
+    )
+    return gt, scene, np.asarray(images)
+
+
+def test_training_reduces_loss():
+    gt, scene, images = _synthetic_scene()
+    ds = SceneDataset(scene, images=images)
+    # start from the GT geometry but gray colors / default opacity
+    model = init_from_points(
+        scene.xyz, np.full(len(scene.xyz), 0.25, np.float32), capacity=64
+    )
+    cfg = TrainConfig(
+        batch_size=2,
+        densify_from_iter=10_000,  # no densify in this short run
+        opacity_reset_interval=0,
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+        feature_lr=0.05, opacity_lr=0.05,  # faster fit for a 40-step test
+    )
+    tr = Trainer(model, ds, cfg, log_fn=lambda *a: None)
+    first = None
+    for i, (P, K, imgs, _) in enumerate(ds.batches(2, seed=1)):
+        m = tr.run_step(P, K, imgs)
+        if first is None:
+            first = float(m["loss"])
+        if i >= 39:
+            break
+    last = float(m["loss"])
+    assert last < 0.5 * first, (first, last)
+
+
+def test_densify_in_loop_keeps_training():
+    # gauss scale 0.1 << 0.1 * extent (~0.16 spread*2): splits survive pruning
+    gt, scene, images = _synthetic_scene(seed=3, gauss_scale=0.1, cam_spread=2.0)
+    ds = SceneDataset(scene, images=images)
+    model = init_from_points(
+        scene.xyz, np.full(len(scene.xyz), 0.1, np.float32), capacity=64
+    )
+    cfg = TrainConfig(
+        batch_size=2, densify_from_iter=2, densify_until_iter=100,
+        densification_interval=5, opacity_reset_interval=8,
+        grad_threshold=1e-7,  # force splits/clones
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+    )
+    tr = Trainer(model, ds, cfg, log_fn=lambda *a: None)
+    for i, (P, K, imgs, _) in enumerate(ds.batches(2, seed=1)):
+        m = tr.run_step(P, K, imgs)
+        assert np.isfinite(float(m["loss"]))
+        if i >= 12:
+            break
+    assert int(tr.model.num_alive()) != 30  # densify actually changed the set
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from simplegaussiansplat_tk71_tpu.train.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    gt, scene, images = _synthetic_scene(seed=4)
+    ds = SceneDataset(scene, images=images)
+    model = init_from_points(
+        scene.xyz, np.full(len(scene.xyz), 0.25, np.float32), capacity=64
+    )
+    cfg = TrainConfig(
+        batch_size=2, densify_from_iter=10_000, opacity_reset_interval=0,
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+    )
+    tr = Trainer(model, ds, cfg, log_fn=lambda *a: None)
+    it = ds.batches(2, seed=1)
+    for _ in range(3):
+        P, K, imgs, _ = next(it)
+        tr.run_step(P, K, imgs)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, tr.model, tr.opt_state, tr.stats, tr.step)
+    m2, o2, s2, step2 = load_checkpoint(path, tr.model, tr.opt_state, tr.stats)
+    assert step2 == 3
+    np.testing.assert_array_equal(np.asarray(m2.mean), np.asarray(tr.model.mean))
+    import jax
+    for a, b in zip(jax.tree.leaves(o2), jax.tree.leaves(tr.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_reference_pt(tmp_path):
+    """Round-trip the reference's torch .pt checkpoint format."""
+    torch = __import__("torch")
+    n = 7
+    rng = np.random.default_rng(0)
+    files = {
+        "mean.pt": rng.normal(size=(n, 3)),
+        "variance_q.pt": rng.normal(size=(n, 4)),
+        "variance_scale.pt": rng.normal(size=(n, 3)),
+        "opacity.pt": rng.normal(size=(n, 1)),
+        "color.pt": rng.normal(size=(n, 9, 3)),
+    }
+    for name, arr in files.items():
+        torch.save(
+            torch.nn.Parameter(torch.tensor(arr, dtype=torch.float32)),
+            os.path.join(tmp_path, name),
+        )
+    from simplegaussiansplat_tk71_tpu.train.checkpoint import load_reference_pt
+
+    model = load_reference_pt(str(tmp_path))
+    assert int(model.num_alive()) == n
+    np.testing.assert_allclose(
+        np.asarray(model.mean[:n]), files["mean.pt"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(model.sh[:n]), files["color.pt"], rtol=1e-6
+    )
