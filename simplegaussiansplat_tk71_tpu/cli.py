@@ -1,0 +1,208 @@
+"""Command-line interface.
+
+Replaces the reference's interactive stdin prompts (gs_control.py:22-131) with
+argparse subcommands; all hyperparameters default to the reference's
+simple-mode values via TrainConfig.
+
+  sgs-tpu train --scene <colmap_root> [--iterations N] [--out DIR] ...
+  sgs-tpu synthetic-train [--gaussians N] [--cams M] ...   (no dataset needed)
+  sgs-tpu render --checkpoint ckpt.npz --scene <colmap_root> --out DIR
+  sgs-tpu info --scene <colmap_root>
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def _add_config_flags(p: argparse.ArgumentParser):
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+
+    for f in dataclasses.fields(TrainConfig):
+        if f.type in ("int", "float", "str") or f.type in (int, float, str):
+            typ = {"int": int, "float": float, "str": str}.get(f.type, f.type)
+            p.add_argument(
+                f"--{f.name.replace('_', '-')}", type=typ, default=None,
+                help=f"TrainConfig.{f.name} (default {f.default})",
+            )
+        elif f.type in ("bool", bool):
+            p.add_argument(
+                f"--{f.name.replace('_', '-')}", action="store_true",
+                default=None,
+            )
+
+
+def _config_from_args(args):
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+
+    kwargs = {}
+    for f in dataclasses.fields(TrainConfig):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            kwargs[f.name] = v
+    return TrainConfig(**kwargs)
+
+
+def cmd_info(args):
+    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
+
+    scene = load_colmap_scene(args.scene)
+    print(f"cameras: {len(scene.P)}")
+    print(f"points3D: {len(scene.xyz)}")
+    print(f"image sizes: {np.unique(scene.wh, axis=0).tolist()}")
+    print(f"first image: {scene.image_names[0] if scene.image_names else None}")
+
+
+def cmd_train(args):
+    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+    from simplegaussiansplat_tk71_tpu.utils.knn import knn_mean_dist
+
+    config = _config_from_args(args)
+    scene = load_colmap_scene(args.scene)
+    ds = SceneDataset(scene, root_dir=args.scene)
+    knn = knn_mean_dist(scene.xyz, config.knn_points)
+    model = init_from_points(
+        scene.xyz, knn, opacity_init=config.opacity_init,
+        sh_degree=config.sh_degree, c00=config.sh_c00,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    trainer = Trainer(model, ds, config)
+    trainer.train(num_steps=args.steps or config.iterations, checkpoint_dir=args.out)
+
+
+def cmd_synthetic_train(args):
+    """Self-contained training demo: fit a perturbed model to a rendered GT."""
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.colmap import ColmapScene
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+    from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+
+    config = _config_from_args(args)
+    n, m = args.gaussians, args.cams
+    W = H = args.size
+    rng = np.random.default_rng(config.seed)
+    xyz = (rng.normal(size=(n, 3)) * 0.8).astype(np.float32)
+    xyz[:, 2] += 4.0
+    gt = init_from_points(xyz, np.full(n, 0.1, np.float32))
+    sh = np.array(gt.sh)
+    sh[:n, 0] = rng.uniform(0.5, 3.0, size=(n, 3))
+    gt = gt._replace(sh=jnp.asarray(sh))
+    f = 1.2 * W
+    Ps, Ks = [], []
+    for i in range(m):
+        ang = 2 * np.pi * i / m * 0.15
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        t = np.array([0.5 * (i - m / 2) / m, 0, 0], np.float32)
+        Ps.append(np.concatenate([R, t[:, None]], 1))
+        Ks.append(np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32))
+    P, K = np.stack(Ps), np.stack(Ks)
+    rcfg = RenderConfig(
+        tile_size=config.tile_size, max_per_tile=config.max_per_tile,
+        tile_chunk=config.tile_chunk,
+    )
+    images, _ = render(gt, jnp.asarray(P), jnp.asarray(K), (W, H), rcfg)
+    scene = ColmapScene(
+        xyz=xyz, rgb=np.zeros((n, 3), np.uint8), P=P, K=K,
+        wh=np.tile([[W, H]], (m, 1)).astype(np.int32),
+        image_names=[f"cam{i}" for i in range(m)],
+    )
+    ds = SceneDataset(scene, images=np.asarray(images))
+    model = init_from_points(xyz, np.full(n, 0.1, np.float32))
+    trainer = Trainer(model, ds, config)
+    trainer.train(num_steps=args.steps)
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        out, _ = render(
+            trainer.model, jnp.asarray(P[:1]), jnp.asarray(K[:1]), (W, H), rcfg
+        )
+        from PIL import Image
+
+        arr = np.asarray(jnp.clip(out[0], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, "fit.png"))
+        arr = np.asarray(jnp.clip(images[0], 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, "gt.png"))
+        print(f"wrote {args.out}/fit.png and gt.png")
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
+    from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+    from simplegaussiansplat_tk71_tpu.train.checkpoint import load_reference_pt
+
+    if args.checkpoint.endswith(".npz"):
+        data = np.load(args.checkpoint)
+        model = GaussianModel(
+            mean=jnp.asarray(data["model.mean"]),
+            quat=jnp.asarray(data["model.quat"]),
+            log_scale=jnp.asarray(data["model.log_scale"]),
+            logit_opacity=jnp.asarray(data["model.logit_opacity"]),
+            sh=jnp.asarray(data["model.sh"]),
+            alive=jnp.asarray(data["model.alive"]),
+        )
+    else:
+        model = load_reference_pt(args.checkpoint)
+    scene = load_colmap_scene(args.scene)
+    W, H = int(scene.wh[0, 0]), int(scene.wh[0, 1])
+    os.makedirs(args.out, exist_ok=True)
+    from PIL import Image
+
+    for i in range(min(args.count, len(scene.P))):
+        img, _ = render(
+            model, jnp.asarray(scene.P[i : i + 1]), jnp.asarray(scene.K[i : i + 1]),
+            (W, H), RenderConfig(),
+        )
+        arr = np.asarray(np.clip(np.asarray(img[0]), 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, f"render_{i:04d}.png"))
+    print(f"wrote {min(args.count, len(scene.P))} renders to {args.out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="sgs-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="inspect a COLMAP scene")
+    p.add_argument("--scene", required=True)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("train", help="train on a COLMAP scene")
+    p.add_argument("--scene", required=True)
+    p.add_argument("--out", default="checkpoints")
+    p.add_argument("--steps", type=int, default=None)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("synthetic-train", help="self-contained training demo")
+    p.add_argument("--gaussians", type=int, default=2000)
+    p.add_argument("--cams", type=int, default=8)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--out", default=None)
+    _add_config_flags(p)
+    p.set_defaults(fn=cmd_synthetic_train)
+
+    p = sub.add_parser("render", help="render views from a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--scene", required=True)
+    p.add_argument("--out", default="renders")
+    p.add_argument("--count", type=int, default=5)
+    p.set_defaults(fn=cmd_render)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

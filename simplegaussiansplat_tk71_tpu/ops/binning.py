@@ -5,13 +5,18 @@ explicit per-pixel fragment list and sorts fragments by pixel key
 (gs_model.py:419-428, uitility.py:336-366). On TPU we instead build, per image,
 a fixed-capacity table of (tile, depth)-sorted Gaussian ids:
 
-  1. per-Gaussian covered tile span from its clamped bbox;
-  2. expand to (gaussian, tile) pairs into a static capacity ``max_pairs``
-     via exclusive-cumsum offsets + vectorized searchsorted (no host sync);
-  3. lexicographic device sort by (tile, depth) — jax.lax.sort with
-     num_keys=2 replaces the reference's global z-argsort + per-pixel keyed
-     sort (gs_model.py:356-365, :541-555);
-  4. per-tile segment extraction into a dense (num_tiles, max_per_tile)
+  1. depth-argsort the N gaussians once (replaces the reference's global
+     z-argsort, gs_model.py:356-365) and reorder the per-gaussian tile spans;
+  2. expand to (gaussian, tile) pairs into a static capacity ``max_pairs``.
+     Pairs are generated in depth-major order, so depth order inside every
+     tile is inherited — the pair sort then needs only the tile id as key;
+  3. owner lookup (pair j -> gaussian) via scatter-max + cummax over the
+     exclusive-cumsum offsets: O(P) streaming, no binary search. All
+     per-gaussian attributes needed per pair travel in ONE packed (N, 5) row
+     gather (random HBM gathers are the cost center on TPU — measured 6x
+     scalar gathers at 4M pairs = ~400 ms vs ~80 ms packed);
+  4. stable single-key sort by tile id groups pairs per tile;
+  5. per-tile segment extraction into a dense (num_tiles, max_per_tile)
      id table + validity mask.
 
 Overflow (dropped pairs or per-tile truncation beyond ``max_per_tile``) is
@@ -47,7 +52,7 @@ def bin_gaussians(
     Args:
       mean2d: (N, 2) pixel means; bbox_half: (N, 2) half extents;
       depth: (N,) camera z; valid: (N,) cull mask (ops.projection).
-      img_wh: (width, height) static ints divisible by tile_size.
+      img_wh: (width, height) static ints (any size; tile grid is ceil).
       max_pairs: static capacity of the pair list (default 8*N).
       max_per_tile: static depth-list length K per tile.
     """
@@ -57,48 +62,54 @@ def bin_gaussians(
     T = ntx * nty
     N = mean2d.shape[0]
     P = max_pairs if max_pairs is not None else 8 * N
+    K = max_per_tile
 
-    # --- 1. covered tile spans ---
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - bbox_half[:, 0]) / ts), 0, ntx - 1)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + bbox_half[:, 0]) / ts), 0, ntx - 1)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - bbox_half[:, 1]) / ts), 0, nty - 1)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + bbox_half[:, 1]) / ts), 0, nty - 1)
+    # --- 1. depth order + covered tile spans (in depth order) ---
+    order = jnp.argsort(jnp.where(valid, depth, jnp.inf)).astype(jnp.int32)
+    m2 = mean2d[order]
+    bb = bbox_half[order]
+    x0 = jnp.clip(jnp.floor((m2[:, 0] - bb[:, 0]) / ts), 0, ntx - 1)
+    x1 = jnp.clip(jnp.floor((m2[:, 0] + bb[:, 0]) / ts), 0, ntx - 1)
+    y0 = jnp.clip(jnp.floor((m2[:, 1] - bb[:, 1]) / ts), 0, nty - 1)
+    y1 = jnp.clip(jnp.floor((m2[:, 1] + bb[:, 1]) / ts), 0, nty - 1)
     tx0 = x0.astype(jnp.int32)
     ty0 = y0.astype(jnp.int32)
     span_w = (x1 - x0).astype(jnp.int32) + 1
     span_h = (y1 - y0).astype(jnp.int32) + 1
-    counts = jnp.where(valid, span_w * span_h, 0)
+    counts = jnp.where(valid[order], span_w * span_h, 0)
 
-    # --- 2. expand to pairs (static capacity P) ---
+    # --- 2+3. expand to pairs; owner via scatter-max + cummax ---
     cum = jnp.cumsum(counts)  # inclusive
-    total = cum[-1] if N > 0 else jnp.int32(0)
-    j = jnp.arange(P, dtype=jnp.int32)
-    # owner gaussian of pair j: first g with cum[g] > j
-    g = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, N - 1)
-    local = j - (cum[g] - counts[g])
-    lx = local % span_w[g]
-    ly = local // span_w[g]
-    tile = (ty0[g] + ly) * ntx + (tx0[g] + lx)
-    pair_valid = j < total
-    # invalid pairs get sentinel tile T so they sort to the tail
-    tile = jnp.where(pair_valid, tile, T).astype(jnp.int32)
-
-    # --- 3. lexicographic sort by (tile, depth) ---
-    sort_depth = jnp.where(pair_valid, depth[g], jnp.inf).astype(jnp.float32)
-    tile_s, _, g_s = jax.lax.sort(
-        (tile, sort_depth, g), num_keys=2, is_stable=False
+    total = cum[-1]
+    offsets = cum - counts  # exclusive
+    seed = jnp.zeros((P,), jnp.int32).at[offsets].max(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
     )
+    g = jax.lax.associative_scan(jnp.maximum, seed)  # depth-rank of owner
 
-    # --- 4. per-tile segments -> dense (T, K) table ---
+    # one packed row gather for everything the expansion needs
+    packed = jnp.stack([tx0, ty0, span_w, offsets, order], axis=1)  # (N, 5)
+    rows = packed[g]  # (P, 5)
+    j = jnp.arange(P, dtype=jnp.int32)
+    local = j - rows[:, 3]
+    lx = local % rows[:, 2]
+    ly = local // rows[:, 2]
+    tile = (rows[:, 1] + ly) * ntx + (rows[:, 0] + lx)
+    pair_valid = j < total
+    tile = jnp.where(pair_valid, tile, T).astype(jnp.int32)  # sentinel tail
+    gid = rows[:, 4]  # original gaussian index
+
+    # --- 4. stable tile-key sort (depth order inherited within tiles) ---
+    tile_s, gid_s = jax.lax.sort((tile, gid), num_keys=1, is_stable=True)
+
+    # --- 5. per-tile segments -> dense (T, K) table ---
     tids = jnp.arange(T, dtype=jnp.int32)
     seg_start = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     seg_end = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
     seg_len = seg_end - seg_start
-    K = max_per_tile
     k = jnp.arange(K, dtype=jnp.int32)
     gather_idx = jnp.minimum(seg_start[:, None] + k[None, :], P - 1)
-    ids = g_s[gather_idx]
+    ids = gid_s[gather_idx]
     mask = k[None, :] < jnp.minimum(seg_len, K)[:, None]
 
     dropped = jnp.maximum(total - P, 0).astype(jnp.int32)

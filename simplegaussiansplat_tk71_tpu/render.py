@@ -22,6 +22,7 @@ class RenderConfig(NamedTuple):
     sh_degree: int = 2
     pixel_offset: float = 0.5
     bbox_max_frac: float = 0.4  # reference 0.4*sqrt(WH) box cap
+    use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
 
 
 class RenderAux(NamedTuple):
@@ -78,18 +79,35 @@ def render_params(
             max_pairs=config.max_pairs,
             max_per_tile=config.max_per_tile,
         )
-        image = rasterize.rasterize_tiles(
-            bins.ids,
-            bins.mask,
-            mean2d,
-            conic,
-            color,
-            opacity,
-            img_wh,
-            tile_size=config.tile_size,
-            tile_chunk=config.tile_chunk,
-            pixel_offset=config.pixel_offset,
-        )
+        if config.use_pallas:
+            from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
+                rasterize_tiles_pallas,
+            )
+
+            image = rasterize_tiles_pallas(
+                bins.ids,
+                bins.mask,
+                mean2d,
+                conic,
+                color,
+                opacity,
+                img_wh,
+                tile_size=config.tile_size,
+                pixel_offset=config.pixel_offset,
+            )
+        else:
+            image = rasterize.rasterize_tiles(
+                bins.ids,
+                bins.mask,
+                mean2d,
+                conic,
+                color,
+                opacity,
+                img_wh,
+                tile_size=config.tile_size,
+                tile_chunk=config.tile_chunk,
+                pixel_offset=config.pixel_offset,
+            )
         return image, bins.num_pairs, bins.dropped_pairs, bins.truncated
 
     images, num_pairs, dropped, truncated = jax.vmap(per_camera)(
