@@ -66,7 +66,50 @@ def _qvec_wxyz_to_rotmat(q):
     )
 
 
+def _native_lib():
+    from simplegaussiansplat_tk71_tpu.native import load_native_lib
+
+    return load_native_lib()
+
+
 def read_cameras_bin(path: str) -> dict:
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = lib.colmap_read_cameras(path.encode(), None, None, None, None, 0)
+        if n >= 0:
+            ids = np.empty(n, np.int32)
+            model = np.empty(n, np.int32)
+            wh = np.empty((n, 2), np.int32)
+            k4 = np.empty((n, 4), np.float64)
+            r = lib.colmap_read_cameras(
+                path.encode(),
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                model.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                wh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                k4.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                n,
+            )
+            if r == n:
+                cams = {}
+                for i in range(n):
+                    name, nparams, _ = CAMERA_MODELS[int(model[i])]
+                    cams[int(ids[i])] = {
+                        "model": name,
+                        "width": int(wh[i, 0]),
+                        "height": int(wh[i, 1]),
+                        "fx": k4[i, 0],
+                        "fy": k4[i, 1],
+                        "cx": k4[i, 2],
+                        "cy": k4[i, 3],
+                        "params": None,
+                    }
+                return cams
+    return _read_cameras_bin_py(path)
+
+
+def _read_cameras_bin_py(path: str) -> dict:
     cams = {}
     with open(path, "rb") as f:
         data = f.read()
@@ -97,6 +140,45 @@ def read_cameras_bin(path: str) -> dict:
 
 
 def read_images_bin(path: str) -> dict:
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = lib.colmap_read_images(
+            path.encode(), None, None, None, None, None, 0, 0
+        )
+        if n >= 0:
+            image_id = np.empty(n, np.int32)
+            qvec = np.empty((n, 4), np.float64)
+            tvec = np.empty((n, 3), np.float64)
+            cam_id = np.empty(n, np.int32)
+            name_cap = 4096 * max(n, 1)
+            names_buf = ctypes.create_string_buffer(name_cap)
+            r = lib.colmap_read_images(
+                path.encode(),
+                image_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                qvec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                tvec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cam_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                names_buf,
+                n,
+                name_cap,
+            )
+            if r == n:
+                names = names_buf.raw.split(b"\x00")[:n]
+                return {
+                    int(image_id[i]): {
+                        "qvec": qvec[i],
+                        "tvec": tvec[i],
+                        "camera_id": int(cam_id[i]),
+                        "name": names[i].decode("utf-8"),
+                    }
+                    for i in range(n)
+                }
+    return _read_images_bin_py(path)
+
+
+def _read_images_bin_py(path: str) -> dict:
     imgs = {}
     with open(path, "rb") as f:
         data = f.read()
@@ -121,6 +203,26 @@ def read_images_bin(path: str) -> dict:
 
 
 def read_points3d_bin(path: str):
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = lib.colmap_read_points3d(path.encode(), None, None, 0)
+        if n >= 0:
+            xyz = np.empty((n, 3), np.float32)
+            rgb = np.empty((n, 3), np.uint8)
+            r = lib.colmap_read_points3d(
+                path.encode(),
+                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                n,
+            )
+            if r == n:
+                return xyz.astype(np.float64), rgb
+    return _read_points3d_bin_py(path)
+
+
+def _read_points3d_bin_py(path: str):
     with open(path, "rb") as f:
         data = f.read()
     (num,) = struct.unpack_from("<Q", data, 0)

@@ -47,11 +47,12 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         loss, (l1, dssim) = photometric_loss(
             images, target, config.loss_lambda, config.ssim_window
         )
-        return loss, (l1, dssim, aux)
+        mse = jnp.mean(jnp.square(images - target))
+        return loss, (l1, dssim, mse, aux)
 
     @jax.jit
     def train_step(params, alive, opt_state, stats, P, K, target):
-        (loss, (l1, dssim, aux)), grads = jax.value_and_grad(
+        (loss, (l1, dssim, mse, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, alive, P, K, target)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -63,10 +64,17 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count + aux.visible.astype(jnp.int32),
         )
+        # NaN sweep the reference keeps commented (check_nan,
+        # gs_model.py:822-829) — here a single cheap reduced flag per step
+        grads_finite = jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
         metrics = {
             "loss": loss,
             "l1": l1,
             "dssim": dssim,
+            "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)),
+            "grads_finite": grads_finite,
             "dropped_pairs": jnp.sum(aux.dropped_pairs),
             "truncated": jnp.sum(aux.truncated),
         }
@@ -156,11 +164,26 @@ class Trainer:
             self.log(f"[opacity reset @ {self.step}]")
         return metrics
 
-    def train(self, num_steps: Optional[int] = None, checkpoint_dir: Optional[str] = None):
-        """Run the full schedule over shuffled camera batches."""
+    def train(
+        self,
+        num_steps: Optional[int] = None,
+        checkpoint_dir: Optional[str] = None,
+        metrics_path: Optional[str] = None,
+        render_dir: Optional[str] = None,
+        render_every: int = 500,
+    ):
+        """Run the full schedule over shuffled camera batches.
+
+        metrics_path: JSONL per-step metrics stream (loss, PSNR, alive, ...).
+        render_dir/render_every: periodic eval PNG of camera 0 (the
+        reference's per-iteration dump, gs_control.py:217-223, throttled).
+        """
+        from simplegaussiansplat_tk71_tpu.render import render
         from simplegaussiansplat_tk71_tpu.train.checkpoint import save_checkpoint
+        from simplegaussiansplat_tk71_tpu.utils.logging import MetricsLogger, save_png
 
         num_steps = num_steps or self.config.iterations
+        logger = MetricsLogger(metrics_path)
         t_start = time.time()
         loss_sum = 0.0
         for P, K, images, _ in self.dataset.batches(
@@ -170,14 +193,38 @@ class Trainer:
             metrics = self.run_step(P, K, images)
             loss = float(metrics["loss"])
             loss_sum += loss
+            dt = time.time() - t0
+            logger.log(
+                self.step,
+                loss=loss,
+                l1=metrics["l1"],
+                dssim=metrics["dssim"],
+                psnr=metrics["psnr"],
+                grads_finite=metrics["grads_finite"],
+                truncated=metrics["truncated"],
+                dropped_pairs=metrics["dropped_pairs"],
+                alive=int(self.model.num_alive()),
+                sec_per_it=round(dt, 4),
+            )
             if self.step % 10 == 0 or self.step <= 3:
-                dt = time.time() - t0
                 self.log(
                     f"step {self.step}: loss={loss:.5f} "
-                    f"avg={loss_sum / self.step:.5f} {dt:.3f}s/it "
+                    f"avg={loss_sum / self.step:.5f} "
+                    f"psnr={float(metrics['psnr']):.2f} {dt:.3f}s/it "
                     f"alive={int(self.model.num_alive())} "
                     f"trunc={int(metrics['truncated'])}"
                 )
+            if not bool(metrics["grads_finite"]):
+                self.log(f"WARNING: non-finite gradients at step {self.step}")
+            if render_dir and self.step % render_every == 0:
+                img, _ = render(
+                    self.model,
+                    jnp.asarray(self.dataset.scene.P[:1]),
+                    jnp.asarray(self.dataset.scene.K[:1]),
+                    self.dataset.img_wh,
+                    self.render_cfg,
+                )
+                save_png(f"{render_dir}/step_{self.step:06d}.png", img[0])
             if checkpoint_dir and self.step % self.config.checkpoint_every == 0:
                 save_checkpoint(
                     f"{checkpoint_dir}/ckpt_{self.step}.npz",
@@ -185,6 +232,7 @@ class Trainer:
                 )
             if self.step >= num_steps:
                 break
+        logger.close()
         self.log(
             f"done: {self.step} steps in {(time.time() - t_start) / 60:.1f} min"
         )
