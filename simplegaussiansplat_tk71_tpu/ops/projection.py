@@ -51,6 +51,7 @@ def project(
     z_min: float = 1e-2,
     bbox_max_frac: float = 0.4,
     alive: jnp.ndarray | None = None,
+    snap_mean_to_int: bool = False,
 ) -> ProjectedGaussians:
     """Project N gaussians into M cameras.
 
@@ -85,6 +86,13 @@ def project(
     mean_pix_homo = jnp.einsum("mij,mnj->mni", K, mean_cam, precision="highest")
     z_clamped = jnp.maximum(mean_pix_homo[..., 2], z_min)
     mean2d = mean_pix_homo[..., :2] / z_clamped[..., None]
+    if snap_mean_to_int:
+        # Reference parity: pixel means truncated to int32 (gs_model.py:361).
+        # In the reference the int cast BREAKS the autograd chain, so position
+        # gradients flow only through the covariance/color paths — we
+        # reproduce that with stop_gradient. Off by default (the float path
+        # keeps sub-pixel position gradients and is strictly better).
+        mean2d = jax.lax.stop_gradient(jnp.trunc(mean2d))
 
     # --- 3D covariance (gs_model.py:297-307) ---
     sigma3d = transforms.covariance_from_quat_scale(quat, log_scale)  # (N, 3, 3)

@@ -8,8 +8,9 @@ attribute blocks from HBM. The XLA path materializes every (tiles, K, pixels)
 intermediate to HBM; this kernel touches HBM once per tile for input and once
 for output.
 
-Layouts (lane-dim last, 128-aligned):
-  attrs: (A=16, T, K)  rows 0..8 = mux, muy, conic a, b, c, opacity, r, g, b
+Layouts (lane-dim last, 128-aligned; tile dim leads so each grid step's
+block is (1, A, K) / (1, 8, P) with aligned trailing dims):
+  attrs: (T, A=16, K)  rows 0..8 = mux, muy, conic a, b, c, opacity, r, g, b
          (opacity pre-masked to 0 for invalid slots — op > 0 is the validity
          test in-kernel; sigmoid can never be exactly 0 for a live gaussian)
   out:   (T, 8, P)     rows 0..2 = composited RGB for the tile's P pixels
@@ -90,7 +91,7 @@ def _alphas(attrs, px, py):
 
 def _forward_kernel(ntx, ts, pixel_offset, attrs_ref, out_ref):
     pid = pl.program_id(0)
-    attrs = attrs_ref[:, 0, :]  # (A, K)
+    attrs = attrs_ref[0]  # (A, K)
     px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
     _, _, _, alpha, _ = _alphas(attrs, px, py)
     t_excl = _exclusive_cumprod(1.0 - alpha)
@@ -105,7 +106,7 @@ def _forward_kernel(ntx, ts, pixel_offset, attrs_ref, out_ref):
 
 def _backward_kernel(ntx, ts, pixel_offset, attrs_ref, gimg_ref, grad_ref):
     pid = pl.program_id(0)
-    attrs = attrs_ref[:, 0, :]  # (A, K)
+    attrs = attrs_ref[0]  # (A, K)
     gimg = gimg_ref[0, :3, :]  # (3, P)
     px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
     dx, dy, g, alpha, op = _alphas(attrs, px, py)
@@ -152,9 +153,9 @@ def _backward_kernel(ntx, ts, pixel_offset, attrs_ref, gimg_ref, grad_ref):
 
 
 def composite_tiles_pallas(attrs, img_wh, tile_size: int, pixel_offset: float):
-    """attrs: (A, T, K) packed per-tile gathered attributes (see module doc).
+    """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
     Returns (T, P) x 3-channel tile images as (T, 8, P) padded array."""
-    A, T, K = attrs.shape
+    T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
     ntx = -(-width // ts)
@@ -165,7 +166,7 @@ def composite_tiles_pallas(attrs, img_wh, tile_size: int, pixel_offset: float):
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((A, 1, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
             (1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -177,7 +178,7 @@ def composite_tiles_pallas(attrs, img_wh, tile_size: int, pixel_offset: float):
 def composite_tiles_pallas_bwd(attrs, g_tiles, img_wh, tile_size: int, pixel_offset: float):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
     Returns (T, 16, K) packed per-slot gradients."""
-    A, T, K = attrs.shape
+    T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
     ntx = -(-width // ts)
@@ -188,7 +189,7 @@ def composite_tiles_pallas_bwd(attrs, g_tiles, img_wh, tile_size: int, pixel_off
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((A, 1, K), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -211,11 +212,10 @@ def _composite_pallas_fwd(attrs, img_wh, tile_size, pixel_offset):
 
 
 def _composite_pallas_bwd(img_wh, tile_size, pixel_offset, attrs, g_tiles):
-    g_attrs_tk = composite_tiles_pallas_bwd(
+    g_attrs = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset
     )
-    # repack (T, 16, K) -> (A=16, T, K) cotangent of attrs
-    return (jnp.swapaxes(g_attrs_tk, 0, 1),)
+    return (g_attrs,)  # same (T, 16, K) layout as attrs
 
 
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
@@ -260,8 +260,8 @@ def rasterize_tiles_pallas(
         )  # (N, 9)
         attrs_tk = packed[ids]  # (T, K, 9)
         attrs_tk = attrs_tk.at[:, :, 5].set(op_masked)
-        attrs = jnp.moveaxis(attrs_tk, -1, 0)  # (9, T, K)
-        attrs = jnp.pad(attrs, ((0, NUM_ATTR_ROWS - 9), (0, 0), (0, 0)))
+        attrs = jnp.swapaxes(attrs_tk, 1, 2)  # (T, 9, K)
+        attrs = jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
         return _composite_pallas(attrs, img_wh, ts, pixel_offset)
 
     out = pack_and_run(mean2d, conic, color, op_masked)  # (T, 8, P)

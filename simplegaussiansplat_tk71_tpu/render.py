@@ -23,6 +23,7 @@ class RenderConfig(NamedTuple):
     pixel_offset: float = 0.5
     bbox_max_frac: float = 0.4  # reference 0.4*sqrt(WH) box cap
     use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
+    snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
 
 
 class RenderAux(NamedTuple):
@@ -66,6 +67,7 @@ def render_params(
         sh_degree=config.sh_degree,
         bbox_max_frac=config.bbox_max_frac,
         alive=alive,
+        snap_mean_to_int=config.snap_mean_to_int,
     )
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
