@@ -73,7 +73,19 @@ def cmd_train(args):
     )
     os.makedirs(args.out, exist_ok=True)
     trainer = Trainer(model, ds, config)
-    trainer.train(num_steps=args.steps or config.iterations, checkpoint_dir=args.out)
+    if args.resume:
+        from simplegaussiansplat_tk71_tpu.train.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(args.out)
+        if latest:
+            step = trainer.restore(latest)
+            print(f"resumed from {latest} at step {step}")
+    trainer.train(
+        num_steps=args.steps or config.iterations,
+        checkpoint_dir=args.out,
+        metrics_path=os.path.join(args.out, "metrics.jsonl"),
+        render_dir=os.path.join(args.out, "renders"),
+    )
 
 
 def cmd_synthetic_train(args):
@@ -134,17 +146,16 @@ def cmd_synthetic_train(args):
         print(f"wrote {args.out}/fit.png and gt.png")
 
 
-def cmd_render(args):
+def _load_model_any(path):
+    """Model from a .npz checkpoint or a reference .pt directory."""
     import jax.numpy as jnp
 
-    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
     from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
-    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
     from simplegaussiansplat_tk71_tpu.train.checkpoint import load_reference_pt
 
-    if args.checkpoint.endswith(".npz"):
-        data = np.load(args.checkpoint)
-        model = GaussianModel(
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return GaussianModel(
             mean=jnp.asarray(data["model.mean"]),
             quat=jnp.asarray(data["model.quat"]),
             log_scale=jnp.asarray(data["model.log_scale"]),
@@ -152,8 +163,48 @@ def cmd_render(args):
             sh=jnp.asarray(data["model.sh"]),
             alive=jnp.asarray(data["model.alive"]),
         )
-    else:
-        model = load_reference_pt(args.checkpoint)
+    return load_reference_pt(path)
+
+
+def cmd_eval(args):
+    """PSNR/SSIM over the scene's cameras (the quality report the reference
+    never produces — its only signal is the training-loss print)."""
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+    from simplegaussiansplat_tk71_tpu.utils.metrics import psnr, ssim
+
+    model = _load_model_any(args.checkpoint)
+    scene = load_colmap_scene(args.scene)
+    ds = SceneDataset(scene, root_dir=args.scene)
+    W, H = ds.img_wh
+    cfg = RenderConfig()
+    rows = []
+    count = min(args.count or len(scene.P), len(scene.P))
+    for i in range(count):
+        img, _ = render(
+            model, jnp.asarray(scene.P[i : i + 1]),
+            jnp.asarray(scene.K[i : i + 1]), (W, H), cfg,
+        )
+        gt = jnp.asarray(ds.get_images([i]))
+        p = float(psnr(img, gt))
+        s = float(ssim(jnp.moveaxis(img, -1, 1), jnp.moveaxis(gt, -1, 1)))
+        rows.append((scene.image_names[i], p, s))
+        print(f"{scene.image_names[i]}: psnr={p:.2f} ssim={s:.4f}")
+    ps = np.array([r[1] for r in rows])
+    ss = np.array([r[2] for r in rows])
+    print(f"mean over {len(rows)}: psnr={ps.mean():.2f} ssim={ss.mean():.4f}")
+
+
+def cmd_render(args):
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.colmap import load_colmap_scene
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+
+    model = _load_model_any(args.checkpoint)
     scene = load_colmap_scene(args.scene)
     W, H = int(scene.wh[0, 0]), int(scene.wh[0, 1])
     os.makedirs(args.out, exist_ok=True)
@@ -181,6 +232,8 @@ def main(argv=None):
     p.add_argument("--scene", required=True)
     p.add_argument("--out", default="checkpoints")
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --out")
     _add_config_flags(p)
     p.set_defaults(fn=cmd_train)
 
@@ -199,6 +252,12 @@ def main(argv=None):
     p.add_argument("--out", default="renders")
     p.add_argument("--count", type=int, default=5)
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("eval", help="PSNR/SSIM over scene cameras")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--scene", required=True)
+    p.add_argument("--count", type=int, default=None)
+    p.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args(argv)
     return args.fn(args)

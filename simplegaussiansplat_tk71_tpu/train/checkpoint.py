@@ -59,6 +59,23 @@ def load_checkpoint(path: str, model_like: GaussianModel, opt_state_like, stats_
     return model, opt_state, stats, step
 
 
+def latest_checkpoint(directory: str) -> str | None:
+    """Path of the newest ckpt_<step>.npz in directory, or None.
+
+    Failure-recovery story: the reference restarts training from scratch on
+    any exception (gs_control.py:241-244); here a crashed run resumes from
+    the last periodic checkpoint (Trainer writes every checkpoint_every)."""
+    import glob
+    import re
+
+    best, best_step = None, -1
+    for p in glob.glob(os.path.join(directory, "ckpt_*.npz")):
+        m = re.search(r"ckpt_(\d+)\.npz$", p)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
 def load_reference_pt(directory: str, sh_degree: int = 2):
     """Load the reference's raw torch.save parameter files into a
     GaussianModel (mean.pt, variance_q.pt, variance_scale.pt, opacity.pt,

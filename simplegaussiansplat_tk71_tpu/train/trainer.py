@@ -116,6 +116,45 @@ class Trainer:
             config, self.render_cfg, dataset.img_wh, self.optimizer
         )
 
+    def restore(self, path: str) -> int:
+        """Resume from a checkpoint written by train(); returns the step.
+
+        The model (incl. capacity) is rebuilt from the stored arrays; the
+        optimizer state is restored when shapes match, else re-initialized.
+        """
+        import jax.numpy as jnp
+
+        from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+        from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
+
+        data = np.load(path)
+        self.model = GaussianModel(
+            mean=jnp.asarray(data["model.mean"]),
+            quat=jnp.asarray(data["model.quat"]),
+            log_scale=jnp.asarray(data["model.log_scale"]),
+            logit_opacity=jnp.asarray(data["model.logit_opacity"]),
+            sh=jnp.asarray(data["model.sh"]),
+            alive=jnp.asarray(data["model.alive"]),
+        )
+        cap = self.model.capacity
+        self.stats = DensifyStats(
+            grad_norm_accum=jnp.asarray(data["stats.grad_norm_accum"]),
+            visible_count=jnp.asarray(data["stats.visible_count"]),
+        )
+        self._reinit_opt()
+        try:
+            from simplegaussiansplat_tk71_tpu.train.checkpoint import (
+                load_checkpoint,
+            )
+
+            _, self.opt_state, _, _ = load_checkpoint(
+                path, self.model, self.opt_state, self.stats
+            )
+        except Exception:
+            self.log(f"[restore] optimizer state mismatch; reinitialized")
+        self.step = int(data["step"])
+        return self.step
+
     def _reinit_opt(self):
         self.opt_state = self.optimizer.init(self.model.trainable())
         self._train_step = make_train_step(
