@@ -146,6 +146,59 @@ def _composite_bwd(res, g_img):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
+def rasterize_tile_block(
+    ids,
+    mask,
+    mean2d,
+    conic,
+    color,
+    opacity,
+    tile_indices,
+    img_wh,
+    tile_size: int = 16,
+    tile_chunk: int = 64,
+    pixel_offset: float = 0.5,
+):
+    """Composite an arbitrary block of tiles.
+
+    tile_indices: (Tb,) int32 global tile ids (row-major over the ceil tile
+    grid) — may be a traced slice, enabling tile-sharded rendering across
+    chips (parallel/tile_sharding). Returns (Tb, ts, ts, 3) tile images.
+    """
+    width, height = int(img_wh[0]), int(img_wh[1])
+    ts = tile_size
+    ntx = -(-width // ts)
+    Tb = ids.shape[0]
+
+    tx = tile_indices % ntx
+    ty = tile_indices // ntx
+    tile_origins = jnp.stack([tx * ts, ty * ts], axis=-1)  # (Tb, 2)
+    pix_all = _tile_pixel_coords(tile_origins, ts, pixel_offset)  # (Tb, P, 2)
+
+    tile_chunk = min(tile_chunk, Tb)
+    n_chunks = -(-Tb // tile_chunk)
+    Tb_pad = n_chunks * tile_chunk
+    if Tb_pad != Tb:
+        pad = Tb_pad - Tb
+        ids = jnp.pad(ids, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        pix_all = jnp.pad(pix_all, ((0, pad), (0, 0), (0, 0)))
+
+    def body(chunk_idx):
+        sl = chunk_idx * tile_chunk
+        ids_c = jax.lax.dynamic_slice_in_dim(ids, sl, tile_chunk, axis=0)
+        mask_c = jax.lax.dynamic_slice_in_dim(mask, sl, tile_chunk, axis=0)
+        pix_c = jax.lax.dynamic_slice_in_dim(pix_all, sl, tile_chunk, axis=0)
+        mu = mean2d[ids_c]
+        con = conic[ids_c]
+        col = color[ids_c]
+        op = opacity[ids_c]
+        return _composite(mu, con, col, op, mask_c, pix_c)
+
+    tile_imgs = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, tc, P, 3)
+    return tile_imgs.reshape(Tb_pad, ts, ts, 3)[:Tb]
+
+
 def rasterize_tiles(
     ids,
     mask,
@@ -183,33 +236,11 @@ def rasterize_tiles(
     T = ntx * nty
     assert ids.shape[0] == T, (ids.shape, T)
 
-    tx = jnp.arange(T, dtype=jnp.int32) % ntx
-    ty = jnp.arange(T, dtype=jnp.int32) // ntx
-    tile_origins = jnp.stack([tx * ts, ty * ts], axis=-1)  # (T, 2)
-    pix_all = _tile_pixel_coords(tile_origins, ts, pixel_offset)  # (T, P, 2)
-
-    tile_chunk = min(tile_chunk, T)
-    n_chunks = -(-T // tile_chunk)
-    T_pad = n_chunks * tile_chunk
-    if T_pad != T:
-        pad = T_pad - T
-        ids = jnp.pad(ids, ((0, pad), (0, 0)))
-        mask = jnp.pad(mask, ((0, pad), (0, 0)))  # padded tiles all-masked
-        pix_all = jnp.pad(pix_all, ((0, pad), (0, 0), (0, 0)))
-
-    def body(chunk_idx):
-        sl = chunk_idx * tile_chunk
-        ids_c = jax.lax.dynamic_slice_in_dim(ids, sl, tile_chunk, axis=0)
-        mask_c = jax.lax.dynamic_slice_in_dim(mask, sl, tile_chunk, axis=0)
-        pix_c = jax.lax.dynamic_slice_in_dim(pix_all, sl, tile_chunk, axis=0)
-        mu = mean2d[ids_c]
-        con = conic[ids_c]
-        col = color[ids_c]
-        op = opacity[ids_c]
-        return _composite(mu, con, col, op, mask_c, pix_c)
-
-    tile_imgs = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, tc, P, 3)
-    tile_imgs = tile_imgs.reshape(T_pad, ts, ts, 3)[:T]
+    tile_imgs = rasterize_tile_block(
+        ids, mask, mean2d, conic, color, opacity,
+        jnp.arange(T, dtype=jnp.int32), img_wh,
+        tile_size=tile_size, tile_chunk=tile_chunk, pixel_offset=pixel_offset,
+    )
     image = tile_imgs.reshape(nty, ntx, ts, ts, 3).transpose(0, 2, 1, 3, 4)
     image = image.reshape(nty * ts, ntx * ts, 3)[:height, :width]
 

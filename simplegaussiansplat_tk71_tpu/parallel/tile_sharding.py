@@ -1,0 +1,130 @@
+"""Tile-sharded rendering: ONE camera's tiles split across chips.
+
+Data parallelism over cameras (parallel/sharding.py) needs batch >= chips.
+This path scales a single camera: every chip projects and bins (replicated
+compute — projection/binning are a small fraction of the step), rasterizes its
+own contiguous slice of the tile grid, and all-gathers tile images to
+assemble the frame. In the backward pass the all_gather transposes to a
+psum_scatter routing each tile's cotangent back to its owner chip, and the
+replicated-parameter gradients are pmean'd (each chip holds d x its own
+tiles' contribution; the mean over chips is the exact total).
+
+This realizes the "tiles sharded across chips" rung of the benchmark ladder
+(BASELINE.md items 4-5; the reference is strictly single-GPU, SURVEY.md 2b).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from simplegaussiansplat_tk71_tpu.ops import binning, projection, rasterize
+
+
+def _num_tiles(img_wh, tile_size):
+    ntx = -(-int(img_wh[0]) // tile_size)
+    nty = -(-int(img_wh[1]) // tile_size)
+    return ntx, nty, ntx * nty
+
+
+def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
+    """Returns render_fn(params, alive, Pm, Km) -> (M, H, W, 3) images,
+    with each camera's tiles sharded over the mesh axis. Cameras and params
+    are replicated; the tile grid must divide evenly by the axis size
+    (it is padded internally otherwise)."""
+    n_dev = mesh.shape[axis_name]
+    ntx, nty, T = _num_tiles(img_wh, config.tile_size)
+    T_pad = -(-T // n_dev) * n_dev
+    shard = T_pad // n_dev
+    ts = config.tile_size
+    width, height = int(img_wh[0]), int(img_wh[1])
+
+    def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
+        bins = binning.bin_gaussians(
+            mean2d, bbox_half, depth, valid, img_wh,
+            tile_size=config.tile_size,
+            max_pairs=config.max_pairs,
+            max_per_tile=config.max_per_tile,
+        )
+        idx = jax.lax.axis_index(axis_name)
+        ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
+        mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
+        start = idx * shard
+        ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard, axis=0)
+        mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard, axis=0)
+        tile_idx = start + jnp.arange(shard, dtype=jnp.int32)
+        # padded tiles (id >= T) get fully-masked slots already (mask pad 0)
+        local = rasterize.rasterize_tile_block(
+            ids_s, mask_s, mean2d, conic, color, opacity,
+            jnp.minimum(tile_idx, T - 1), img_wh,
+            tile_size=config.tile_size,
+            tile_chunk=min(config.tile_chunk, shard),
+            pixel_offset=config.pixel_offset,
+        )  # (shard, ts, ts, 3)
+        tiles = jax.lax.all_gather(
+            local, axis_name, axis=0, tiled=True
+        )  # (T_pad, ts, ts, 3)
+        image = (
+            tiles[:T]
+            .reshape(nty, ntx, ts, ts, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(nty * ts, ntx * ts, 3)[:height, :width]
+        )
+        return image
+
+    def render_fn(params, alive, Pm, Km):
+        proj = projection.project(
+            params["mean"], params["quat"], params["log_scale"],
+            params["logit_opacity"], params["sh"], Pm, Km, img_wh,
+            sh_degree=config.sh_degree, bbox_max_frac=config.bbox_max_frac,
+            alive=alive, snap_mean_to_int=config.snap_mean_to_int,
+        )
+        return jax.vmap(per_camera)(
+            proj.mean2d, proj.conic, proj.depth, proj.color,
+            proj.opacity, proj.bbox_half, proj.valid,
+        )
+
+    return render_fn
+
+
+def make_tile_sharded_train_step(
+    mesh, config, render_cfg, img_wh, optimizer, axis_name: str = "data"
+):
+    """Jitted tile-sharded train step with the same signature as
+    parallel.sharding.make_sharded_train_step (cameras REPLICATED here)."""
+    from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+    from simplegaussiansplat_tk71_tpu.train.loss import photometric_loss
+
+    render_fn = make_tile_sharded_render(mesh, img_wh, render_cfg, axis_name)
+
+    def step(params, alive, opt_state, stats, Pm, Km, target):
+        def loss_fn(params):
+            images = render_fn(params, alive, Pm, Km)
+            loss, (l1, dssim) = photometric_loss(
+                images, target, config.loss_lambda, config.ssim_window
+            )
+            return loss, (l1, dssim)
+
+        (loss, (l1, dssim)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # each chip's grads = n_dev x its tiles' share; mean = exact total
+        grads = jax.lax.pmean(grads, axis_name)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        stats = DensifyStats(
+            grad_norm_accum=stats.grad_norm_accum + gnorm,
+            visible_count=stats.visible_count
+            + (gnorm > 0).astype(jnp.int32),
+        )
+        metrics = {"loss": loss, "l1": l1, "dssim": dssim}
+        return params, opt_state, stats, metrics
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,69 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from simplegaussiansplat_tk71_tpu.parallel.mesh import make_mesh
+from simplegaussiansplat_tk71_tpu.parallel.tile_sharding import (
+    make_tile_sharded_render,
+    make_tile_sharded_train_step,
+)
+from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
+from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
+
+from test_render import _scene
+
+
+def test_tile_sharded_render_matches_single_device():
+    model, Pm, Km, wh, n = _scene(seed=21)
+    cfg = RenderConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
+    ref, _ = render(model, Pm, Km, wh, cfg)
+
+    mesh = make_mesh(4)
+    render_fn = make_tile_sharded_render(mesh, wh, cfg)
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, a, P_, K_: render_fn(p, a, P_, K_),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = sharded(model.trainable(), model.alive, Pm, Km)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tile_sharded_step_gradients_match():
+    model, Pm, Km, wh, n = _scene(seed=22)
+    cfg = TrainConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
+    rcfg = RenderConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
+    opt = make_optimizer(cfg)
+    params = model.trainable()
+    opt_state = opt.init(params)
+    stats = DensifyStats.zeros(model.capacity)
+    rng = np.random.default_rng(0)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (1, wh[1], wh[0], 3)).astype(np.float32)
+    )
+
+    # single-device reference step (same math, no sharding)
+    from simplegaussiansplat_tk71_tpu.train.trainer import make_train_step
+
+    single = make_train_step(cfg, rcfg, wh, opt)
+    p1, _, _, m1 = single(params, model.alive, opt_state, stats, Pm, Km, target)
+
+    mesh = make_mesh(4)
+    step = make_tile_sharded_train_step(mesh, cfg, rcfg, wh, opt)
+    p4, _, _, m4 = step(params, model.alive, opt_state, stats, Pm, Km, target)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
+    for name in params:
+        np.testing.assert_allclose(
+            np.asarray(p1[name]), np.asarray(p4[name]), rtol=1e-3, atol=1e-6,
+            err_msg=name,
+        )
