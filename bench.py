@@ -52,12 +52,15 @@ def main():
     K = jnp.asarray(np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], np.float32))
     target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
 
+    import os
+
     cfg = TrainConfig()
     rcfg = RenderConfig(
         tile_size=16,
         max_per_tile=512,
-        max_pairs=8 * model.capacity,
+        max_pairs=4 * model.capacity,
         tile_chunk=125,
+        use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",
     )
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, rcfg, (W, H), opt)
