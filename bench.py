@@ -36,18 +36,22 @@ def main():
     log("devices:", jax.devices())
     W = H = 800
     N = 1_000_000
+    f = 600.0
     rng = np.random.default_rng(0)
 
-    # synthetic 1M-gaussian scene framed by the camera
-    xyz = rng.normal(size=(N, 3)).astype(np.float32) * 2.0
-    xyz[:, 2] = np.abs(xyz[:, 2]) + 4.0
+    # synthetic 1M-gaussian scene: uniform over the view frustum (z in
+    # [4, 12], x/y spanning the full image at each depth) so per-tile loads
+    # are realistic rather than center-concentrated
+    z = rng.uniform(4.0, 12.0, N).astype(np.float32)
+    u = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+    xyz = np.stack([u * z * W / f, v * z * H / f, z], axis=1).astype(np.float32)
     model = init_from_points(
         xyz, rng.uniform(0.004, 0.02, N).astype(np.float32), capacity=None
     )
     sh = np.array(model.sh)
     sh[:N, 0] = rng.uniform(0.5, 3.0, size=(N, 3))
     model = model._replace(sh=jnp.asarray(sh))
-    f = 600.0
     P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
     K = jnp.asarray(np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], np.float32))
     target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
@@ -57,7 +61,7 @@ def main():
     cfg = TrainConfig()
     rcfg = RenderConfig(
         tile_size=16,
-        max_per_tile=512,
+        max_per_tile=int(os.environ.get("SGS_BENCH_K", "1024")),
         max_pairs=4 * model.capacity,
         tile_chunk=125,
         use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",

@@ -10,8 +10,7 @@ a fixed-capacity table of (tile, depth)-sorted Gaussian ids:
   2. expand to (gaussian, tile) pairs into a static capacity ``max_pairs``.
      Pairs are generated in depth-major order, so depth order inside every
      tile is inherited — the pair sort then needs only the tile id as key;
-  3. owner lookup (pair j -> gaussian) via scatter-max + cummax over the
-     exclusive-cumsum offsets: O(P) streaming, no binary search. All
+  3. owner lookup (pair j -> gaussian) with a sort-merge searchsorted. All
      per-gaussian attributes needed per pair travel in ONE packed (N, 5) row
      gather (random HBM gathers are the cost center on TPU — measured 6x
      scalar gathers at 4M pairs = ~400 ms vs ~80 ms packed);
@@ -78,19 +77,21 @@ def bin_gaussians(
     span_h = (y1 - y0).astype(jnp.int32) + 1
     counts = jnp.where(valid[order], span_w * span_h, 0)
 
-    # --- 2+3. expand to pairs; owner via scatter-max + cummax ---
+    # --- 2+3. expand to pairs; owner of pair j = first g with cum[g] > j.
+    # method='sort' merges the two sorted sequences in one fused device sort
+    # (~100 ms at P=4M on v5e); the default binary-search 'scan' does log(N)
+    # serial gather rounds (~1.1 s), and a scatter-max+cummax formulation
+    # compiles pathologically on the TPU backend.
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
     offsets = cum - counts  # exclusive
-    seed = jnp.zeros((P,), jnp.int32).at[offsets].max(
-        jnp.arange(N, dtype=jnp.int32), mode="drop"
-    )
-    g = jax.lax.associative_scan(jnp.maximum, seed)  # depth-rank of owner
+    j = jnp.arange(P, dtype=jnp.int32)
+    g = jnp.searchsorted(cum, j, side="right", method="sort").astype(jnp.int32)
+    g = jnp.minimum(g, N - 1)
 
     # one packed row gather for everything the expansion needs
     packed = jnp.stack([tx0, ty0, span_w, offsets, order], axis=1)  # (N, 5)
     rows = packed[g]  # (P, 5)
-    j = jnp.arange(P, dtype=jnp.int32)
     local = j - rows[:, 3]
     lx = local % rows[:, 2]
     ly = local // rows[:, 2]

@@ -152,16 +152,182 @@ def _backward_kernel(ntx, ts, pixel_offset, attrs_ref, gimg_ref, grad_ref):
     grad_ref[0, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-def composite_tiles_pallas(attrs, img_wh, tile_size: int, pixel_offset: float):
+def _forward_kernel_v2(ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, out_ref):
+    """Blocked forward with transmittance early-out.
+
+    Processes the depth axis in blocks of ``depth_block``; stops as soon as
+    every pixel's transmittance is below ``t_eps`` (the official-3DGS early
+    termination; the reference's T != 0 mask, gs_model.py:575-578, is the
+    eps=0 case). Saturated tiles skip most of their depth list.
+    """
+    pid = pl.program_id(0)
+    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
+    Kk = attrs_ref.shape[-1]
+    D = depth_block
+    nb = Kk // D
+    P = px.shape[-1]
+
+    def cond(c):
+        kb, T, img = c
+        return jnp.logical_and(kb < nb, jnp.max(T) > t_eps)
+
+    def body(c):
+        kb, T, img = c
+        start = pl.multiple_of(kb * D, D)
+        blk = attrs_ref[0, :, pl.ds(start, D)]  # (A, D)
+        dx = px - blk[0, :][:, None]  # (D, P)
+        dy = py - blk[1, :][:, None]
+        ca = blk[2, :][:, None]
+        cb = blk[3, :][:, None]
+        cc = blk[4, :][:, None]
+        op = blk[5, :][:, None]
+        q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+        alpha = op * jnp.exp(-0.5 * q)
+        anti = 1.0 - alpha
+        excl = _exclusive_cumprod(anti)
+        w = (T * excl) * alpha  # (D, P); T is (1, P)
+        img = img + jax.lax.dot_general(
+            blk[6:9, :], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        T = T * (excl[D - 1 : D, :] * anti[D - 1 : D, :])
+        return kb + 1, T, img
+
+    T0 = jnp.ones((1, P), jnp.float32)
+    img0 = jnp.zeros((3, P), jnp.float32)
+    _, _, img = jax.lax.while_loop(cond, body, (0, T0, img0))
+    out_ref[0, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
+
+
+def _backward_kernel_v2(
+    ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, gimg_ref, grad_ref
+):
+    """Blocked backward with the same early-out and per-block recompute.
+
+    Phase 1 replays the forward saving each block's entry transmittance
+    (the reference's cross-chunk T_min carry, gs_model.py:606-615); phase 2
+    walks the used blocks in reverse carrying the exclusive suffix sum
+    (the reference's grad_cumsum_0 carry, gs_model.py:634-643).
+    """
+    pid = pl.program_id(0)
+    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
+    attrs = attrs_ref[0]
+    gimg = gimg_ref[0, :3, :]  # (3, P)
+    Kk = attrs.shape[-1]
+    D = depth_block
+    nb = Kk // D
+    P = px.shape[-1]
+
+    def block_quants(kb):
+        start = pl.multiple_of(kb * D, D)
+        # attrs is a materialized value; pl.ds only indexes refs
+        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
+        dx = px - blk[0, :][:, None]
+        dy = py - blk[1, :][:, None]
+        ca = blk[2, :][:, None]
+        cb = blk[3, :][:, None]
+        cc = blk[4, :][:, None]
+        op = blk[5, :][:, None]
+        q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+        g = jnp.exp(-0.5 * q)
+        alpha = op * g
+        return blk, dx, dy, ca, cb, cc, op, g, alpha
+
+    # phase 1: entry transmittance per block + used-block count
+    def fcond(c):
+        kb, T, _, _ = c
+        return jnp.logical_and(kb < nb, jnp.max(T) > t_eps)
+
+    def fbody(c):
+        kb, T, T_entries, used = c
+        _, _, _, _, _, _, _, _, alpha = block_quants(kb)
+        anti = 1.0 - alpha
+        excl = _exclusive_cumprod(anti)
+        T_entries = jax.lax.dynamic_update_slice(T_entries, T, (kb, 0))
+        T = T * (excl[D - 1 : D, :] * anti[D - 1 : D, :])
+        return kb + 1, T, T_entries, used + 1
+
+    T_entries0 = jnp.ones((nb, P), jnp.float32)
+    _, _, T_entries, used = jax.lax.while_loop(
+        fcond, fbody, (0, jnp.ones((1, P), jnp.float32), T_entries0, 0)
+    )
+
+    # zero-init output (unused blocks keep zero grads)
+    grad_ref[0, :, :] = jnp.zeros((NUM_ATTR_ROWS, Kk), jnp.float32)
+
+    # phase 2: reverse over used blocks with suffix carry
+    def bbody(i, carry):
+        s_carry = carry  # (1, P) sum of w over blocks AFTER kb
+        kb = used - 1 - i
+        blk, dx, dy, ca, cb, cc, op, g, alpha = block_quants(kb)
+        anti = 1.0 - alpha
+        excl = _exclusive_cumprod(anti)
+        T_entry = jax.lax.dynamic_slice(T_entries, (kb, 0), (1, P))
+        t_excl = T_entry * excl  # global exclusive transmittance in block
+        ck = jax.lax.dot_general(
+            blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (D, P)
+        wk = t_excl * alpha * ck
+        csum = _inclusive_cumsum(wk)
+        total = csum[D - 1 : D, :]
+        suffix = (total - csum) + s_carry  # exclusive suffix incl. later blocks
+        anti_safe = jnp.maximum(anti, 1e-8)
+        u = t_excl * ck - suffix / anti_safe
+        valid = op > 0.0
+        u = jnp.where(valid, u, 0.0)
+        m = op * u * g
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        g_col = jax.lax.dot_general(
+            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (3, D)
+        grads = jnp.concatenate(
+            [jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0), g_col],
+            axis=0,
+        )  # (9, D)
+        valid_k = valid.astype(jnp.float32)[:, 0][None, :]
+        grads = grads * valid_k
+        start = pl.multiple_of(kb * D, D)
+        grad_ref[0, 0:9, pl.ds(start, D)] = grads
+        return s_carry + total
+
+    jax.lax.fori_loop(0, used, bbody, jnp.zeros((1, P), jnp.float32))
+
+
+def composite_tiles_pallas(
+    attrs,
+    img_wh,
+    tile_size: int,
+    pixel_offset: float,
+    depth_block: int | None = None,
+    t_eps: float = 1e-4,
+):
     """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
-    Returns (T, P) x 3-channel tile images as (T, 8, P) padded array."""
+    Returns (T, P) x 3-channel tile images as (T, 8, P) padded array.
+    depth_block=None runs the single-pass exact kernel; an int selects the
+    blocked kernel with transmittance early-out below t_eps."""
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
     ntx = -(-width // ts)
     P = ts * ts
 
-    kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset)
+    if depth_block is not None:
+        assert K % depth_block == 0, (K, depth_block)
+        kernel = functools.partial(
+            _forward_kernel_v2, ntx, ts, pixel_offset, depth_block, t_eps
+        )
+    else:
+        kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -175,7 +341,15 @@ def composite_tiles_pallas(attrs, img_wh, tile_size: int, pixel_offset: float):
     )(attrs)
 
 
-def composite_tiles_pallas_bwd(attrs, g_tiles, img_wh, tile_size: int, pixel_offset: float):
+def composite_tiles_pallas_bwd(
+    attrs,
+    g_tiles,
+    img_wh,
+    tile_size: int,
+    pixel_offset: float,
+    depth_block: int | None = None,
+    t_eps: float = 1e-4,
+):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
     Returns (T, 16, K) packed per-slot gradients."""
     T, A, K = attrs.shape
@@ -184,7 +358,13 @@ def composite_tiles_pallas_bwd(attrs, g_tiles, img_wh, tile_size: int, pixel_off
     ntx = -(-width // ts)
     P = ts * ts
 
-    kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
+    if depth_block is not None:
+        assert K % depth_block == 0, (K, depth_block)
+        kernel = functools.partial(
+            _backward_kernel_v2, ntx, ts, pixel_offset, depth_block, t_eps
+        )
+    else:
+        kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -199,21 +379,27 @@ def composite_tiles_pallas_bwd(attrs, g_tiles, img_wh, tile_size: int, pixel_off
     )(attrs, g_tiles)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _composite_pallas(attrs, img_wh, tile_size, pixel_offset):
-    return composite_tiles_pallas(attrs, img_wh, tile_size, pixel_offset)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _composite_pallas(attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+    return composite_tiles_pallas(
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps
+    )
 
 
-def _composite_pallas_fwd(attrs, img_wh, tile_size, pixel_offset):
-    out = composite_tiles_pallas(attrs, img_wh, tile_size, pixel_offset)
+def _composite_pallas_fwd(attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+    out = composite_tiles_pallas(
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps
+    )
     # chunk-recompute checkpointing: residual = inputs only (same policy as
     # the XLA path / reference gs_model.py:799-803)
     return out, attrs
 
 
-def _composite_pallas_bwd(img_wh, tile_size, pixel_offset, attrs, g_tiles):
+def _composite_pallas_bwd(
+    img_wh, tile_size, pixel_offset, depth_block, t_eps, attrs, g_tiles
+):
     g_attrs = composite_tiles_pallas_bwd(
-        attrs, g_tiles, img_wh, tile_size, pixel_offset
+        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps
     )
     return (g_attrs,)  # same (T, 16, K) layout as attrs
 
@@ -231,6 +417,8 @@ def rasterize_tiles_pallas(
     img_wh,
     tile_size: int = 16,
     pixel_offset: float = 0.5,
+    depth_block: int | None = None,
+    t_eps: float = 1e-4,
 ):
     """Drop-in Pallas replacement for ops.rasterize.rasterize_tiles.
 
@@ -262,7 +450,9 @@ def rasterize_tiles_pallas(
         attrs_tk = attrs_tk.at[:, :, 5].set(op_masked)
         attrs = jnp.swapaxes(attrs_tk, 1, 2)  # (T, 9, K)
         attrs = jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
-        return _composite_pallas(attrs, img_wh, ts, pixel_offset)
+        return _composite_pallas(
+            attrs, img_wh, ts, pixel_offset, depth_block, t_eps
+        )
 
     out = pack_and_run(mean2d, conic, color, op_masked)  # (T, 8, P)
     tile_imgs = jnp.swapaxes(out[:, :3, :], 1, 2)  # (T, P, 3)
