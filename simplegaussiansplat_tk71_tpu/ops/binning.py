@@ -34,6 +34,19 @@ class TileBins(NamedTuple):
     num_pairs: jnp.ndarray  # () int32 total (gaussian, tile) pairs pre-capacity
     dropped_pairs: jnp.ndarray  # () int32 pairs lost to max_pairs capacity
     truncated: jnp.ndarray  # () int32 fragments lost to max_per_tile
+    # --- pair-space gradient routing (ops/rasterize_pallas) ---
+    # For tile-sorted pair position q: its tile (sentinel T if padding) and
+    # its depth-major pair index. Depth-major pairs are contiguous per
+    # depth-rank; rank r owns [rank_offset[r], rank_cum[r]) and maps to
+    # gaussian order[r]. Lets the backward route per-slot gradients to
+    # per-gaussian rows with gathers + UNIQUE scatters + one cumsum instead
+    # of a duplicate-accumulating scatter-add (~3x faster on TPU).
+    tile_of_pair: jnp.ndarray  # (P,) int32
+    dm_index_of_pair: jnp.ndarray  # (P,) int32
+    seg_start: jnp.ndarray  # (T,) int32 first pair position of each tile
+    rank_offset: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum
+    rank_cum: jnp.ndarray  # (N,) int32 inclusive pair-count cumsum
+    order: jnp.ndarray  # (N,) int32 depth rank -> gaussian id
 
 
 def bin_gaussians(
@@ -100,8 +113,11 @@ def bin_gaussians(
     tile = jnp.where(pair_valid, tile, T).astype(jnp.int32)  # sentinel tail
     gid = rows[:, 4]  # original gaussian index
 
-    # --- 4. stable tile-key sort (depth order inherited within tiles) ---
-    tile_s, gid_s = jax.lax.sort((tile, gid), num_keys=1, is_stable=True)
+    # --- 4. stable tile-key sort (depth order inherited within tiles);
+    # j rides along so each sorted position knows its depth-major index ---
+    tile_s, gid_s, dm_idx = jax.lax.sort(
+        (tile, gid, j), num_keys=1, is_stable=True
+    )
 
     # --- 5. per-tile segments -> dense (T, K) table ---
     tids = jnp.arange(T, dtype=jnp.int32)
@@ -121,4 +137,10 @@ def bin_gaussians(
         num_pairs=total.astype(jnp.int32),
         dropped_pairs=dropped,
         truncated=truncated,
+        tile_of_pair=tile_s,
+        dm_index_of_pair=dm_idx,
+        seg_start=seg_start,
+        rank_offset=offsets.astype(jnp.int32),
+        rank_cum=cum.astype(jnp.int32),
+        order=order,
     )

@@ -23,6 +23,9 @@ class RenderConfig(NamedTuple):
     pixel_offset: float = 0.5
     bbox_max_frac: float = 0.4  # reference 0.4*sqrt(WH) box cap
     use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
+    depth_block: int | None = None  # pallas: blocked kernel w/ early-out
+    t_eps: float = 1e-4  # pallas blocked kernel early-out threshold
+    pair_grad_route: bool = True  # pallas: pair-space gradient routing
     snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
 
 
@@ -96,6 +99,9 @@ def render_params(
                 img_wh,
                 tile_size=config.tile_size,
                 pixel_offset=config.pixel_offset,
+                depth_block=config.depth_block,
+                t_eps=config.t_eps,
+                route=bins if config.pair_grad_route else None,
             )
         else:
             image = rasterize.rasterize_tiles(
