@@ -201,28 +201,27 @@ def _forward_kernel_v2(ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, out
 
 
 def _backward_kernel_v2(
-    ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, gimg_ref, grad_ref
+    ntx, ts, pixel_offset, depth_block, t_eps,
+    attrs_ref, gimg_ref, grad_ref, t_entries_ref,
 ):
     """Blocked backward with the same early-out and per-block recompute.
 
-    Phase 1 replays the forward saving each block's entry transmittance
-    (the reference's cross-chunk T_min carry, gs_model.py:606-615); phase 2
-    walks the used blocks in reverse carrying the exclusive suffix sum
-    (the reference's grad_cumsum_0 carry, gs_model.py:634-643).
+    Phase 1 replays the forward saving each block's entry transmittance into
+    VMEM scratch (the reference's cross-chunk T_min carry,
+    gs_model.py:606-615); phase 2 walks the used blocks in reverse carrying
+    the exclusive suffix sum (the grad_cumsum_0 carry, gs_model.py:634-643).
     """
     pid = pl.program_id(0)
     px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
-    attrs = attrs_ref[0]
     gimg = gimg_ref[0, :3, :]  # (3, P)
-    Kk = attrs.shape[-1]
+    Kk = attrs_ref.shape[-1]
     D = depth_block
     nb = Kk // D
     P = px.shape[-1]
 
     def block_quants(kb):
         start = pl.multiple_of(kb * D, D)
-        # attrs is a materialized value; pl.ds only indexes refs
-        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
+        blk = attrs_ref[0, :, pl.ds(start, D)]  # (A, D) ref slice
         dx = px - blk[0, :][:, None]
         dy = py - blk[1, :][:, None]
         ca = blk[2, :][:, None]
@@ -236,21 +235,20 @@ def _backward_kernel_v2(
 
     # phase 1: entry transmittance per block + used-block count
     def fcond(c):
-        kb, T, _, _ = c
+        kb, T, _ = c
         return jnp.logical_and(kb < nb, jnp.max(T) > t_eps)
 
     def fbody(c):
-        kb, T, T_entries, used = c
+        kb, T, used = c
         _, _, _, _, _, _, _, _, alpha = block_quants(kb)
         anti = 1.0 - alpha
         excl = _exclusive_cumprod(anti)
-        T_entries = jax.lax.dynamic_update_slice(T_entries, T, (kb, 0))
+        t_entries_ref[pl.ds(kb, 1), :] = T
         T = T * (excl[D - 1 : D, :] * anti[D - 1 : D, :])
-        return kb + 1, T, T_entries, used + 1
+        return kb + 1, T, used + 1
 
-    T_entries0 = jnp.ones((nb, P), jnp.float32)
-    _, _, T_entries, used = jax.lax.while_loop(
-        fcond, fbody, (0, jnp.ones((1, P), jnp.float32), T_entries0, 0)
+    _, _, used = jax.lax.while_loop(
+        fcond, fbody, (0, jnp.ones((1, P), jnp.float32), 0)
     )
 
     # zero-init output (unused blocks keep zero grads)
@@ -263,7 +261,7 @@ def _backward_kernel_v2(
         blk, dx, dy, ca, cb, cc, op, g, alpha = block_quants(kb)
         anti = 1.0 - alpha
         excl = _exclusive_cumprod(anti)
-        T_entry = jax.lax.dynamic_slice(T_entries, (kb, 0), (1, P))
+        T_entry = t_entries_ref[pl.ds(kb, 1), :]
         t_excl = T_entry * excl  # global exclusive transmittance in block
         ck = jax.lax.dot_general(
             blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
@@ -363,8 +361,10 @@ def composite_tiles_pallas_bwd(
         kernel = functools.partial(
             _backward_kernel_v2, ntx, ts, pixel_offset, depth_block, t_eps
         )
+        scratch = [pltpu.VMEM((K // depth_block, P), jnp.float32)]
     else:
         kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
+        scratch = []
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -376,6 +376,7 @@ def composite_tiles_pallas_bwd(
             (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
+        scratch_shapes=scratch,
     )(attrs, g_tiles)
 
 

@@ -25,7 +25,10 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
     depth_block: int | None = None  # pallas: blocked kernel w/ early-out
     t_eps: float = 1e-4  # pallas blocked kernel early-out threshold
-    pair_grad_route: bool = True  # pallas: pair-space gradient routing
+    pair_grad_route: bool = False  # experimental: pair-space grad routing
+    # (correct — see tests/test_pair_route.py — but the (P, 9) XLA routing
+    # ops pad 9 -> 128 lanes and measure slower than the scatter-add
+    # transpose on v5e; kept for the future in-kernel pair-space variant)
     snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
 
 
