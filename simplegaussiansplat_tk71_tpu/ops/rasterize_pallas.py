@@ -152,24 +152,27 @@ def _backward_kernel(ntx, ts, pixel_offset, attrs_ref, gimg_ref, grad_ref):
     grad_ref[0, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-def _forward_kernel_v2(ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, out_ref):
-    """Blocked forward with transmittance early-out.
+def _forward_kernel_v2(
+    ntx, ts, pixel_offset, depth_block, t_eps, seg_len_ref, attrs_ref, out_ref
+):
+    """Blocked forward with list-length bound and transmittance early-out.
 
-    Processes the depth axis in blocks of ``depth_block``; stops as soon as
-    every pixel's transmittance is below ``t_eps`` (the official-3DGS early
-    termination; the reference's T != 0 mask, gs_model.py:575-578, is the
-    eps=0 case). Saturated tiles skip most of their depth list.
+    Processes the depth axis in blocks of ``depth_block``, bounded by the
+    tile's true list length (skips the K-padding tail — the dense table is
+    sized for the worst tile) and stopping early once every pixel's
+    transmittance is below ``t_eps`` (the official-3DGS early termination;
+    the reference's T != 0 mask, gs_model.py:575-578, is the eps=0 case).
     """
     pid = pl.program_id(0)
     px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
     Kk = attrs_ref.shape[-1]
     D = depth_block
-    nb = Kk // D
+    nb_used = pl.cdiv(seg_len_ref[0], D)
     P = px.shape[-1]
 
     def cond(c):
         kb, T, img = c
-        return jnp.logical_and(kb < nb, jnp.max(T) > t_eps)
+        return jnp.logical_and(kb < nb_used, jnp.max(T) > t_eps)
 
     def body(c):
         kb, T, img = c
@@ -202,7 +205,7 @@ def _forward_kernel_v2(ntx, ts, pixel_offset, depth_block, t_eps, attrs_ref, out
 
 def _backward_kernel_v2(
     ntx, ts, pixel_offset, depth_block, t_eps,
-    attrs_ref, gimg_ref, grad_ref, t_entries_ref,
+    seg_len_ref, attrs_ref, gimg_ref, grad_ref, t_entries_ref,
 ):
     """Blocked backward with the same early-out and per-block recompute.
 
@@ -216,7 +219,7 @@ def _backward_kernel_v2(
     gimg = gimg_ref[0, :3, :]  # (3, P)
     Kk = attrs_ref.shape[-1]
     D = depth_block
-    nb = Kk // D
+    nb_used = pl.cdiv(seg_len_ref[0], D)
     P = px.shape[-1]
 
     def block_quants(kb):
@@ -236,7 +239,7 @@ def _backward_kernel_v2(
     # phase 1: entry transmittance per block + used-block count
     def fcond(c):
         kb, T, _ = c
-        return jnp.logical_and(kb < nb, jnp.max(T) > t_eps)
+        return jnp.logical_and(kb < nb_used, jnp.max(T) > t_eps)
 
     def fbody(c):
         kb, T, used = c
@@ -308,6 +311,7 @@ def composite_tiles_pallas(
     pixel_offset: float,
     depth_block: int | None = None,
     t_eps: float = 1e-4,
+    seg_len=None,
 ):
     """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
     Returns (T, P) x 3-channel tile images as (T, 8, P) padded array.
@@ -321,11 +325,25 @@ def composite_tiles_pallas(
 
     if depth_block is not None:
         assert K % depth_block == 0, (K, depth_block)
+        assert seg_len is not None
         kernel = functools.partial(
             _forward_kernel_v2, ntx, ts, pixel_offset, depth_block, t_eps
         )
-    else:
-        kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset)
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        )(seg_len, attrs)
+    kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -347,6 +365,7 @@ def composite_tiles_pallas_bwd(
     pixel_offset: float,
     depth_block: int | None = None,
     t_eps: float = 1e-4,
+    seg_len=None,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
     Returns (T, 16, K) packed per-slot gradients."""
@@ -358,13 +377,30 @@ def composite_tiles_pallas_bwd(
 
     if depth_block is not None:
         assert K % depth_block == 0, (K, depth_block)
+        assert seg_len is not None
         kernel = functools.partial(
             _backward_kernel_v2, ntx, ts, pixel_offset, depth_block, t_eps
         )
-        scratch = [pltpu.VMEM((K // depth_block, P), jnp.float32)]
-    else:
-        kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
-        scratch = []
+        return pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((K // depth_block, P), jnp.float32)],
+        )(seg_len, attrs, g_tiles)
+    kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -376,33 +412,34 @@ def composite_tiles_pallas_bwd(
             (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
-        scratch_shapes=scratch,
     )(attrs, g_tiles)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
-def _composite_pallas(attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _composite_pallas(attrs, seg_len, img_wh, tile_size, pixel_offset, depth_block, t_eps):
     return composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
     )
 
 
-def _composite_pallas_fwd(attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+def _composite_pallas_fwd(attrs, seg_len, img_wh, tile_size, pixel_offset, depth_block, t_eps):
     out = composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
     )
     # chunk-recompute checkpointing: residual = inputs only (same policy as
     # the XLA path / reference gs_model.py:799-803)
-    return out, attrs
+    return out, (attrs, seg_len)
 
 
 def _composite_pallas_bwd(
-    img_wh, tile_size, pixel_offset, depth_block, t_eps, attrs, g_tiles
+    img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
+    attrs, seg_len = res
     g_attrs = composite_tiles_pallas_bwd(
-        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps
+        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+        seg_len,
     )
-    return (g_attrs,)  # same (T, 16, K) layout as attrs
+    return (g_attrs, None)  # same (T, 16, K) layout as attrs
 
 
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
@@ -424,8 +461,9 @@ def _composite_pairroute(
     img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _slot_attrs(packed, ids, mask)
+    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
     return composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
     )
 
 
@@ -459,8 +497,10 @@ def _composite_pairroute_bwd(
     """
     packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds, order = res
     attrs = _slot_attrs(packed, ids, mask)
+    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
     slot_grads = composite_tiles_pallas_bwd(
-        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps
+        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+        seg_len,
     )  # (T, 16, K)
     T, _, K = slot_grads.shape
     P = tile_of_pair.shape[0]
@@ -538,8 +578,9 @@ def rasterize_tiles_pallas(
         )
     else:
         attrs = _slot_attrs(packed, ids, mask)
+        seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
         out = _composite_pallas(
-            attrs, img_wh, ts, pixel_offset, depth_block, t_eps
+            attrs, seg_len, img_wh, ts, pixel_offset, depth_block, t_eps
         )
     tile_imgs = jnp.swapaxes(out[:, :3, :], 1, 2)  # (T, P, 3)
     image = tile_imgs.reshape(nty, ntx, ts, ts, 3).transpose(0, 2, 1, 3, 4)
