@@ -62,7 +62,8 @@ def main():
     rcfg = RenderConfig(
         tile_size=16,
         max_per_tile=int(os.environ.get("SGS_BENCH_K", "1024")),
-        max_pairs=4 * model.capacity,
+        # ~1.3x the scene's actual pair count; overflow is counted, not silent
+        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2500000")),
         tile_chunk=125,
         use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",
     )

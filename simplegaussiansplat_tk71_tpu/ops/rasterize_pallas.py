@@ -167,7 +167,7 @@ def _forward_kernel_v2(
     px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
     Kk = attrs_ref.shape[-1]
     D = depth_block
-    nb_used = pl.cdiv(seg_len_ref[0], D)
+    nb_used = pl.cdiv(seg_len_ref[pid], D)
     P = px.shape[-1]
 
     def cond(c):
@@ -219,7 +219,7 @@ def _backward_kernel_v2(
     gimg = gimg_ref[0, :3, :]  # (3, P)
     Kk = attrs_ref.shape[-1]
     D = depth_block
-    nb_used = pl.cdiv(seg_len_ref[0], D)
+    nb_used = pl.cdiv(seg_len_ref[pid], D)
     P = px.shape[-1]
 
     def block_quants(kb):
@@ -333,7 +333,7 @@ def composite_tiles_pallas(
             kernel,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # full (T,) per program
                 pl.BlockSpec(
                     (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
@@ -385,7 +385,7 @@ def composite_tiles_pallas_bwd(
             kernel,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # full (T,) per program
                 pl.BlockSpec(
                     (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
