@@ -445,9 +445,38 @@ def _composite_pallas_bwd(
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
 
 
+@jax.custom_vjp
+def _gather_rows(packed, ids):
+    """packed[ids] whose transpose scatters column-wise.
+
+    XLA transposes a row gather into one row-wise scatter-add (slice size 9),
+    measured 289 ms at 2.56M slots on v5e; nine 1-D scatter-adds measure
+    183 ms. Forward stays the fast row gather.
+    """
+    return packed[ids]
+
+
+def _gather_rows_fwd(packed, ids):
+    return packed[ids], (ids, packed.shape[0])
+
+
+def _gather_rows_bwd(res, g):
+    ids, n = res
+    flat_ids = ids.reshape(-1)
+    gf = g.reshape(-1, g.shape[-1])
+    cols = [
+        jnp.zeros((n,), gf.dtype).at[flat_ids].add(gf[:, c])
+        for c in range(g.shape[-1])
+    ]
+    return jnp.stack(cols, axis=1), None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def _slot_attrs(packed, ids, mask):
     """(N, 9) packed rows -> (T, 16, K) kernel attrs with slot masking."""
-    attrs_tk = packed[ids]  # (T, K, 9)
+    attrs_tk = _gather_rows(packed, ids)  # (T, K, 9)
     attrs_tk = attrs_tk.at[:, :, 5].set(
         jnp.where(mask, attrs_tk[:, :, 5], 0.0)
     )
