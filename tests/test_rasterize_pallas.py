@@ -94,3 +94,19 @@ def test_pallas_masked_slots_zero_grads():
     assert np.abs(g[masked_ids]).max() == 0.0
     kept_ids = np.asarray(ids[0])[:4]
     assert np.abs(g[kept_ids]).min() > 0.0
+
+
+def test_pallas_odd_image_size_matches_jnp():
+    W, H = 50, 34  # non-tile-aligned (real scenes: e.g. 640x427)
+    n = 20
+    mean2d, conic, color, opacity, depth = _random_scene(n, W, H, seed=19)
+    ntx, nty = -(-W // 16), -(-H // 16)
+    ids, mask = _bins(n, ntx * nty, depth, 64)
+    args = (
+        ids, mask, jnp.asarray(mean2d), jnp.asarray(conic),
+        jnp.asarray(color), jnp.asarray(opacity),
+    )
+    ref = rasterize.rasterize_tiles(*args, (W, H), tile_size=16, tile_chunk=2)
+    got = rasterize_tiles_pallas(*args, (W, H), tile_size=16)
+    assert got.shape == (H, W, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
