@@ -76,16 +76,29 @@ def project(
     width, height = int(img_wh[0]), int(img_wh[1])
     M = P.shape[0]
 
+    # All the tiny per-gaussian linear algebra below is written as explicit
+    # (M, 1) x (1, N) broadcast arithmetic: batched 3x3 einsums lower to
+    # degenerate batched matmuls on TPU (measured ~4x slower than the
+    # expansion at N=1M).
+
     # --- world -> camera (gs_model.py:289-290) ---
     R_wc = P[:, :, :3]  # (M, 3, 3)
     t_wc = P[:, :, 3]  # (M, 3)
-    mean_cam = jnp.einsum("mij,nj->mni", R_wc, mean, precision="highest") + t_wc[:, None, :]
-    z = mean_cam[..., 2]
+    w = lambda i, j: R_wc[:, i, j][:, None]  # (M, 1)
+    mx, my, mz = mean[:, 0][None], mean[:, 1][None], mean[:, 2][None]  # (1, N)
+    cam_x = w(0, 0) * mx + w(0, 1) * my + w(0, 2) * mz + t_wc[:, 0][:, None]
+    cam_y = w(1, 0) * mx + w(1, 1) * my + w(1, 2) * mz + t_wc[:, 1][:, None]
+    cam_z = w(2, 0) * mx + w(2, 1) * my + w(2, 2) * mz + t_wc[:, 2][:, None]
+    mean_cam = jnp.stack([cam_x, cam_y, cam_z], axis=-1)  # (M, N, 3)
+    z = cam_z
 
     # --- camera -> pixel (gs_model.py:293-294) ---
-    mean_pix_homo = jnp.einsum("mij,mnj->mni", K, mean_cam, precision="highest")
-    z_clamped = jnp.maximum(mean_pix_homo[..., 2], z_min)
-    mean2d = mean_pix_homo[..., :2] / z_clamped[..., None]
+    k = lambda i, j: K[:, i, j][:, None]
+    hx = k(0, 0) * cam_x + k(0, 1) * cam_y + k(0, 2) * cam_z
+    hy = k(1, 0) * cam_x + k(1, 1) * cam_y + k(1, 2) * cam_z
+    hz = k(2, 0) * cam_x + k(2, 1) * cam_y + k(2, 2) * cam_z
+    inv_hz = 1.0 / jnp.maximum(hz, z_min)
+    mean2d = jnp.stack([hx * inv_hz, hy * inv_hz], axis=-1)
     if snap_mean_to_int:
         # Reference parity: pixel means truncated to int32 (gs_model.py:361).
         # In the reference the int cast BREAKS the autograd chain, so position
@@ -94,15 +107,51 @@ def project(
         # keeps sub-pixel position gradients and is strictly better).
         mean2d = jax.lax.stop_gradient(jnp.trunc(mean2d))
 
-    # --- 3D covariance (gs_model.py:297-307) ---
-    sigma3d = transforms.covariance_from_quat_scale(quat, log_scale)  # (N, 3, 3)
+    # --- 3D covariance (gs_model.py:297-307), 6 unique components (1, N) ---
+    s3 = transforms.covariance_sym6_from_quat_scale(quat, log_scale)
+    s3 = {key: val[None] for key, val in zip(
+        ["00", "01", "02", "11", "12", "22"], s3
+    )}
 
-    # --- camera-frame covariance Sigma_cam = W Sigma W^T (gs_model.py:309) ---
-    sigma_cam = jnp.einsum("mij,njk,mlk->mnil", R_wc, sigma3d, R_wc, precision="highest")
+    # --- camera-frame covariance Sigma_cam = W Sigma W^T (gs_model.py:309),
+    # expanded: v_b = Sigma @ W_b^T (rows), c_ab = W_a . v_b ---
+    def sig_comp(j, kk):  # Sigma_{j,kk} with j <= kk handled by symmetry
+        a, b = (j, kk) if j <= kk else (kk, j)
+        return s3[f"{a}{b}"]
+
+    def v(j, b):  # (Sigma W^T)_{j,b} = sum_k Sigma_jk W_bk
+        return (
+            sig_comp(j, 0) * w(b, 0)
+            + sig_comp(j, 1) * w(b, 1)
+            + sig_comp(j, 2) * w(b, 2)
+        )
+
+    def c_ab(a, b):  # (W Sigma W^T)_{a,b}
+        return w(a, 0) * v(0, b) + w(a, 1) * v(1, b) + w(a, 2) * v(2, b)
+
+    c00 = c_ab(0, 0)
+    c01 = c_ab(0, 1)
+    c02 = c_ab(0, 2)
+    c11 = c_ab(1, 1)
+    c12 = c_ab(1, 2)
+    c22 = c_ab(2, 2)
 
     # --- projective Jacobian & 2D covariance (gs_model.py:311-321) ---
-    j00, j02, j11, j12 = transforms.pixel_jacobian(K, mean_cam, z_min)
-    sigma2d = transforms.project_covariance_2d(sigma_cam, j00, j02, j11, j12)
+    fx = K[:, 0, 0][:, None]
+    fy = K[:, 1, 1][:, None]
+    zc = jnp.maximum(z, z_min)
+    inv_z = 1.0 / zc
+    j00 = fx * inv_z
+    j02 = -fx * cam_x * inv_z * inv_z
+    j11 = fy * inv_z
+    j12 = -fy * cam_y * inv_z * inv_z
+    eps_diag = 1e-6
+    s00 = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22 + eps_diag
+    s01 = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
+    s11 = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22 + eps_diag
+    row0 = jnp.stack([s00, s01], axis=-1)
+    row1 = jnp.stack([s01, s11], axis=-1)
+    sigma2d = jnp.stack([row0, row1], axis=-2)
 
     # --- conic (inverse 2D covariance, gs_model.py:353) ---
     inv = transforms.invert_2x2(sigma2d)

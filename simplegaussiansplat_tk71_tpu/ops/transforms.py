@@ -62,10 +62,33 @@ def covariance_from_quat_scale(q: jnp.ndarray, log_scale: jnp.ndarray) -> jnp.nd
     q: (N, 4) xyzw (normalized inside), log_scale: (N, 3) -> (N, 3, 3).
     Matches gs_model.py:297-307 (R @ S @ S^T @ R^T with S=diag(exp(s))).
     """
+    s00, s01, s02, s11, s12, s22 = covariance_sym6_from_quat_scale(q, log_scale)
+    row0 = jnp.stack([s00, s01, s02], axis=-1)
+    row1 = jnp.stack([s01, s11, s12], axis=-1)
+    row2 = jnp.stack([s02, s12, s22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def covariance_sym6_from_quat_scale(q: jnp.ndarray, log_scale: jnp.ndarray):
+    """Unique components (00, 01, 02, 11, 12, 22) of Sigma = R diag(s^2) R^T.
+
+    Fully expanded scalar arithmetic: Sigma_ik = sum_j R_ij s2_j R_kj. Tiny
+    batched 3x3 einsums lower to degenerate batched matmuls on TPU; the
+    expansion keeps everything on the VPU.
+    """
     rot = quat_to_rotmat(normalize_quat(q))
-    s2 = jnp.exp(2.0 * log_scale)  # (N, 3) squared scales
-    # Sigma = R diag(s2) R^T, expressed as (R * s2) @ R^T.
-    return jnp.einsum("nij,nj,nkj->nik", rot, s2, rot, precision="highest")
+    s2 = jnp.exp(2.0 * log_scale)  # (N, 3)
+    r = lambda i, j: rot[..., i, j]
+    s = lambda j: s2[..., j]
+
+    def sig(i, k):
+        return (
+            r(i, 0) * s(0) * r(k, 0)
+            + r(i, 1) * s(1) * r(k, 1)
+            + r(i, 2) * s(2) * r(k, 2)
+        )
+
+    return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
 
 
 def invert_2x2(m: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -63,7 +63,9 @@ def test_tile_sharded_step_gradients_match():
 
     np.testing.assert_allclose(float(m1["loss"]), float(m4["loss"]), rtol=1e-5)
     for name in params:
+        # atol 1e-5: Adam normalizes near-zero grads, amplifying f32
+        # reassociation differences between the sharded/single lowerings
         np.testing.assert_allclose(
-            np.asarray(p1[name]), np.asarray(p4[name]), rtol=1e-3, atol=1e-6,
+            np.asarray(p1[name]), np.asarray(p4[name]), rtol=1e-3, atol=1e-5,
             err_msg=name,
         )
