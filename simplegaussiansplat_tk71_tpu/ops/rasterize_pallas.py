@@ -89,67 +89,73 @@ def _alphas(attrs, px, py):
     return dx, dy, g, alpha, op
 
 
-def _forward_kernel(ntx, ts, pixel_offset, attrs_ref, out_ref):
+def _forward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, out_ref):
+    # Each program composites ``tile_block`` tiles from one VMEM block:
+    # amortizes per-program/DMA overhead (grid T -> T / tile_block).
     pid = pl.program_id(0)
-    attrs = attrs_ref[0]  # (A, K)
-    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
-    _, _, _, alpha, _ = _alphas(attrs, px, py)
-    t_excl = _exclusive_cumprod(1.0 - alpha)
-    w = t_excl * alpha  # (K, P)
-    col = attrs[6:9, :]  # (3, K)
-    img = jax.lax.dot_general(
-        col, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (3, P)
-    out_ref[0, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
+    for t in range(tile_block):
+        attrs = attrs_ref[t]  # (A, K)
+        px, py = _pixel_coords(pid * tile_block + t, ntx, ts, pixel_offset)
+        _, _, _, alpha, _ = _alphas(attrs, px, py)
+        t_excl = _exclusive_cumprod(1.0 - alpha)
+        w = t_excl * alpha  # (K, P)
+        col = attrs[6:9, :]  # (3, K)
+        img = jax.lax.dot_general(
+            col, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (3, P)
+        out_ref[t, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
 
 
-def _backward_kernel(ntx, ts, pixel_offset, attrs_ref, gimg_ref, grad_ref):
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, gimg_ref, grad_ref):
     pid = pl.program_id(0)
-    attrs = attrs_ref[0]  # (A, K)
-    gimg = gimg_ref[0, :3, :]  # (3, P)
-    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
-    dx, dy, g, alpha, op = _alphas(attrs, px, py)
-    anti = 1.0 - alpha
-    t_excl = _exclusive_cumprod(anti)
-    col = attrs[6:9, :]  # (3, K)
-    # ck(k, p) = <dL/dI(p), col_k>
-    ck = jax.lax.dot_general(
-        col, gimg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (K, P)
-    w = t_excl * alpha
-    wk = w * ck
-    incl = _inclusive_cumsum(wk)
-    total = incl[-1:, :]  # (1, P) total sum
-    suffix = total - incl  # exclusive suffix sum S_k
-    anti_safe = jnp.maximum(anti, 1e-8)
-    u = t_excl * ck - suffix / anti_safe
-    valid = op > 0.0
-    u = jnp.where(valid, u, 0.0)
+    for t in range(tile_block):
+        attrs = attrs_ref[t]  # (A, K)
+        gimg = gimg_ref[t, :3, :]  # (3, P)
+        px, py = _pixel_coords(pid * tile_block + t, ntx, ts, pixel_offset)
+        dx, dy, g, alpha, op = _alphas(attrs, px, py)
+        anti = 1.0 - alpha
+        t_excl = _exclusive_cumprod(anti)
+        col = attrs[6:9, :]  # (3, K)
+        # ck(k, p) = <dL/dI(p), col_k>
+        ck = jax.lax.dot_general(
+            col, gimg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, P)
+        w = t_excl * alpha
+        wk = w * ck
+        incl = _inclusive_cumsum(wk)
+        total = incl[-1:, :]  # (1, P) total sum
+        suffix = total - incl  # exclusive suffix sum S_k
+        anti_safe = jnp.maximum(anti, 1e-8)
+        u = t_excl * ck - suffix / anti_safe
+        valid = op > 0.0
+        u = jnp.where(valid, u, 0.0)
 
-    m = op * u * g  # (K, P)
-    ca = attrs[2, :][:, None]
-    cb = attrs[3, :][:, None]
-    cc = attrs[4, :][:, None]
-    g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-    g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-    g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-    g_cb = jnp.sum(-m * dx * dy, axis=1)
-    g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-    g_op = jnp.sum(g * u, axis=1)
-    # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
-    g_col = jax.lax.dot_general(
-        gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-    grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
-    # zero grads of masked slots — their ids point at clamped garbage rows
-    valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
-    grads = grads * valid_k
-    grad_ref[0, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+        m = op * u * g  # (K, P)
+        ca = attrs[2, :][:, None]
+        cb = attrs[3, :][:, None]
+        cc = attrs[4, :][:, None]
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
+        g_col = jax.lax.dot_general(
+            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
+        # zero grads of masked slots — ids point at clamped garbage rows
+        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
+        grads = grads * valid_k
+        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
 def _forward_kernel_v2(
@@ -312,11 +318,13 @@ def composite_tiles_pallas(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
+    tile_block: int = 4,
 ):
     """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
     Returns (T, P) x 3-channel tile images as (T, 8, P) padded array.
-    depth_block=None runs the single-pass exact kernel; an int selects the
-    blocked kernel with transmittance early-out below t_eps."""
+    depth_block=None runs the single-pass exact kernel (tile_block tiles per
+    program to amortize per-program overhead); an int selects the blocked
+    kernel with transmittance early-out below t_eps."""
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -343,18 +351,23 @@ def composite_tiles_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         )(seg_len, attrs)
-    kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset)
-    return pl.pallas_call(
+    TB = tile_block
+    T_pad = -(-T // TB) * TB
+    if T_pad != T:
+        attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0), (0, 0)))
+    kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset, TB)
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T_pad // TB,),
         in_specs=[
-            pl.BlockSpec((1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, 8, P), jnp.float32),
     )(attrs)
+    return out[:T]
 
 
 def composite_tiles_pallas_bwd(
@@ -366,6 +379,7 @@ def composite_tiles_pallas_bwd(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
+    tile_block: int = 4,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
     Returns (T, 16, K) packed per-slot gradients."""
@@ -400,19 +414,25 @@ def composite_tiles_pallas_bwd(
             out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
             scratch_shapes=[pltpu.VMEM((K // depth_block, P), jnp.float32)],
         )(seg_len, attrs, g_tiles)
-    kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset)
-    return pl.pallas_call(
+    TB = tile_block
+    T_pad = -(-T // TB) * TB
+    if T_pad != T:
+        attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0), (0, 0)))
+        g_tiles = jnp.pad(g_tiles, ((0, T_pad - T), (0, 0), (0, 0)))
+    kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset, TB)
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T_pad // TB,),
         in_specs=[
-            pl.BlockSpec((1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
     )(attrs, g_tiles)
+    return out[:T]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
