@@ -90,17 +90,19 @@ def bin_gaussians(
     span_h = (y1 - y0).astype(jnp.int32) + 1
     counts = jnp.where(valid[order], span_w * span_h, 0)
 
-    # --- 2+3. expand to pairs; owner of pair j = first g with cum[g] > j.
-    # method='sort' merges the two sorted sequences in one fused device sort
-    # (~100 ms at P=4M on v5e); the default binary-search 'scan' does log(N)
-    # serial gather rounds (~1.1 s), and a scatter-max+cummax formulation
-    # compiles pathologically on the TPU backend.
+    # --- 2+3. expand to pairs; owner of pair j = first g with cum[g] > j
+    # = #{g : cum[g] <= j}. Because the queries are just arange(P), that
+    # count is the cumsum of a histogram of the cum values — one 1-D
+    # scatter-add + one int cumsum (~40 ms at P=2.5M on v5e, vs ~74 ms for
+    # a sort-merge searchsorted and ~1.1 s for the binary-search default).
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
     offsets = cum - counts  # exclusive
     j = jnp.arange(P, dtype=jnp.int32)
-    g = jnp.searchsorted(cum, j, side="right", method="sort").astype(jnp.int32)
-    g = jnp.minimum(g, N - 1)
+    hist = jnp.zeros((P,), jnp.int32).at[jnp.minimum(cum, P - 1)].add(
+        1, mode="drop"
+    )
+    g = jnp.minimum(jnp.cumsum(hist), N - 1)
 
     # one packed row gather for everything the expansion needs
     packed = jnp.stack([tx0, ty0, span_w, offsets, order], axis=1)  # (N, 5)
