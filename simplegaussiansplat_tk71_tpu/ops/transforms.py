@@ -137,46 +137,3 @@ def sigma_bbox_half_extents(sigma2d: jnp.ndarray, n_sigma: float = 3.0) -> jnp.n
     """
     diag = jnp.stack([sigma2d[..., 0, 0], sigma2d[..., 1, 1]], axis=-1)
     return n_sigma * jnp.sqrt(jnp.abs(diag))
-
-
-def pixel_jacobian(K: jnp.ndarray, xyz_cam: jnp.ndarray, z_min: float = 1e-2):
-    """Components of the camera->pixel projective Jacobian.
-
-    K: (M, 3, 3) intrinsics, xyz_cam: (M, N, 3) camera-space points.
-    Returns (j00, j02, j11, j12) each (M, N): the only nonzero entries of the
-    2x3 Jacobian [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
-    (Utilities.pixel_jacobian_batch, uitility.py:257-287, incl. the 1e-2 z clamp).
-    """
-    fx = K[:, 0, 0][:, None]
-    fy = K[:, 1, 1][:, None]
-    x = xyz_cam[..., 0]
-    y = xyz_cam[..., 1]
-    z = jnp.maximum(xyz_cam[..., 2], z_min)
-    inv_z = 1.0 / z
-    return fx * inv_z, -fx * x * inv_z * inv_z, fy * inv_z, -fy * y * inv_z * inv_z
-
-
-def project_covariance_2d(
-    sigma_cam: jnp.ndarray, j00, j02, j11, j12, eps_diag: float = 1e-6
-) -> jnp.ndarray:
-    """Sigma_pix = J Sigma_cam J^T + eps*I with the sparse 2x3 Jacobian.
-
-    sigma_cam: (M, N, 3, 3); j**: (M, N). Returns (M, N, 2, 2).
-    Exploits J's sparsity: row0 = (j00, 0, j02), row1 = (0, j11, j12), so
-      S00 = j00^2 c00 + 2 j00 j02 c02 + j02^2 c22
-      S01 = j00 j11 c01 + j00 j12 c02 + j02 j11 c12 + j02 j12 c22
-      S11 = j11^2 c11 + 2 j11 j12 c12 + j12^2 c22
-    (equivalent to gs_model.py:321 without materializing J).
-    """
-    c00 = sigma_cam[..., 0, 0]
-    c01 = sigma_cam[..., 0, 1]
-    c02 = sigma_cam[..., 0, 2]
-    c11 = sigma_cam[..., 1, 1]
-    c12 = sigma_cam[..., 1, 2]
-    c22 = sigma_cam[..., 2, 2]
-    s00 = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22 + eps_diag
-    s01 = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
-    s11 = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22 + eps_diag
-    row0 = jnp.stack([s00, s01], axis=-1)
-    row1 = jnp.stack([s01, s11], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
