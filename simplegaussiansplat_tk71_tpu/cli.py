@@ -114,7 +114,10 @@ def cmd_synthetic_train(args):
         ang = 2 * np.pi * i / m * 0.15
         c, s = np.cos(ang), np.sin(ang)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
-        t = np.array([0.5 * (i - m / 2) / m, 0, 0], np.float32)
+        # camera spread sets the densify scene extent; keep it comfortably
+        # above 10x the gaussian scales or the size-prune rule
+        # (max scale > 0.1 * extent, gs_model.py:252) wipes the model
+        t = np.array([4.0 * (i - m / 2) / m, 0, 0], np.float32)
         Ps.append(np.concatenate([R, t[:, None]], 1))
         Ks.append(np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32))
     P, K = np.stack(Ps), np.stack(Ks)

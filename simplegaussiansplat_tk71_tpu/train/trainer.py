@@ -194,6 +194,13 @@ class Trainer:
                 f"[densify @ {self.step}] split={info['split']} "
                 f"clone={info['clone']} prune={info['prune']} alive={info['alive']}"
             )
+            if info["alive"] == 0 or info["prune"] > 2 * max(info["alive"], 1):
+                self.log(
+                    "WARNING: densify pruned most/all gaussians — scene "
+                    f"extent ({self.extent:.3g}) is likely too small relative "
+                    "to the gaussian scales (prune rule: max scale > 0.1 * "
+                    "extent). Check camera poses / knn init."
+                )
         if (
             cfg.opacity_reset_interval
             and self.step % cfg.opacity_reset_interval == 0
