@@ -63,10 +63,10 @@ def _inclusive_cumsum(x):
     return y
 
 
-def _pixel_coords(pid, ntx, ts, pixel_offset):
-    """(1, P) pixel-center x and y coords for tile `pid` (row-major pixels)."""
-    tile_x = (pid % ntx) * ts
-    tile_y = (pid // ntx) * ts
+def _pixel_coords(tid, ntx, ts, pixel_offset):
+    """(1, P) pixel-center x and y coords for tile `tid` (row-major pixels)."""
+    tile_x = (tid % ntx) * ts
+    tile_y = (tid // ntx) * ts
     p = jax.lax.broadcasted_iota(jnp.int32, (1, ts * ts), 1)
     px = (p % ts + tile_x).astype(jnp.float32) + pixel_offset
     py = (p // ts + tile_y).astype(jnp.float32) + pixel_offset
@@ -89,13 +89,15 @@ def _alphas(attrs, px, py):
     return dx, dy, g, alpha, op
 
 
-def _forward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, out_ref):
+def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, out_ref):
     # Each program composites ``tile_block`` tiles from one VMEM block:
     # amortizes per-program/DMA overhead (grid T -> T / tile_block).
+    # tile_ids (SMEM) maps grid position -> global tile id, so a sharded
+    # caller can composite an arbitrary tile subset (parallel/tile_sharding).
     pid = pl.program_id(0)
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
-        px, py = _pixel_coords(pid * tile_block + t, ntx, ts, pixel_offset)
+        px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
         _, _, _, alpha, _ = _alphas(attrs, px, py)
         t_excl = _exclusive_cumprod(1.0 - alpha)
         w = t_excl * alpha  # (K, P)
@@ -108,12 +110,12 @@ def _forward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, out_ref):
         out_ref[t, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
 
 
-def _backward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, gimg_ref, grad_ref):
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
     pid = pl.program_id(0)
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
-        px, py = _pixel_coords(pid * tile_block + t, ntx, ts, pixel_offset)
+        px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
         dx, dy, g, alpha, op = _alphas(attrs, px, py)
         anti = 1.0 - alpha
         t_excl = _exclusive_cumprod(anti)
@@ -159,7 +161,8 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, attrs_ref, gimg_ref, gra
 
 
 def _forward_kernel_v2(
-    ntx, ts, pixel_offset, depth_block, t_eps, seg_len_ref, attrs_ref, out_ref
+    ntx, ts, pixel_offset, depth_block, t_eps, seg_len_ref, tile_ids_ref,
+    attrs_ref, out_ref,
 ):
     """Blocked forward with list-length bound and transmittance early-out.
 
@@ -170,7 +173,7 @@ def _forward_kernel_v2(
     the reference's T != 0 mask, gs_model.py:575-578, is the eps=0 case).
     """
     pid = pl.program_id(0)
-    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
+    px, py = _pixel_coords(tile_ids_ref[pid], ntx, ts, pixel_offset)
     Kk = attrs_ref.shape[-1]
     D = depth_block
     nb_used = pl.cdiv(seg_len_ref[pid], D)
@@ -211,7 +214,7 @@ def _forward_kernel_v2(
 
 def _backward_kernel_v2(
     ntx, ts, pixel_offset, depth_block, t_eps,
-    seg_len_ref, attrs_ref, gimg_ref, grad_ref, t_entries_ref,
+    seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, t_entries_ref,
 ):
     """Blocked backward with the same early-out and per-block recompute.
 
@@ -221,7 +224,7 @@ def _backward_kernel_v2(
     the exclusive suffix sum (the grad_cumsum_0 carry, gs_model.py:634-643).
     """
     pid = pl.program_id(0)
-    px, py = _pixel_coords(pid, ntx, ts, pixel_offset)
+    px, py = _pixel_coords(tile_ids_ref[pid], ntx, ts, pixel_offset)
     gimg = gimg_ref[0, :3, :]  # (3, P)
     Kk = attrs_ref.shape[-1]
     D = depth_block
@@ -310,6 +313,14 @@ def _backward_kernel_v2(
     jax.lax.fori_loop(0, used, bbody, jnp.zeros((1, P), jnp.float32))
 
 
+def _tile_ids_or_arange(tile_ids, T, pad_to):
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+    if pad_to != T:
+        tile_ids = jnp.pad(tile_ids, (0, pad_to - T), mode="edge")
+    return tile_ids
+
+
 def composite_tiles_pallas(
     attrs,
     img_wh,
@@ -319,12 +330,14 @@ def composite_tiles_pallas(
     t_eps: float = 1e-4,
     seg_len=None,
     tile_block: int = 4,
+    tile_ids=None,
 ):
     """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
     Returns (T, P) x 3-channel tile images as (T, 8, P) padded array.
     depth_block=None runs the single-pass exact kernel (tile_block tiles per
     program to amortize per-program overhead); an int selects the blocked
-    kernel with transmittance early-out below t_eps."""
+    kernel with transmittance early-out below t_eps. tile_ids (optional,
+    (T,) int32) gives the global tile id per row for sharded tile subsets."""
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -342,6 +355,7 @@ def composite_tiles_pallas(
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # full (T,) per program
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
                 pl.BlockSpec(
                     (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
@@ -350,7 +364,7 @@ def composite_tiles_pallas(
                 (1, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
-        )(seg_len, attrs)
+        )(seg_len, _tile_ids_or_arange(tile_ids, T, T), attrs)
     TB = tile_block
     T_pad = -(-T // TB) * TB
     if T_pad != T:
@@ -360,13 +374,14 @@ def composite_tiles_pallas(
         kernel,
         grid=(T_pad // TB,),
         in_specs=[
-            pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
+            pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, 8, P), jnp.float32),
-    )(attrs)
+    )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs)
     return out[:T]
 
 
@@ -380,6 +395,7 @@ def composite_tiles_pallas_bwd(
     t_eps: float = 1e-4,
     seg_len=None,
     tile_block: int = 4,
+    tile_ids=None,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
     Returns (T, 16, K) packed per-slot gradients."""
@@ -400,6 +416,7 @@ def composite_tiles_pallas_bwd(
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # full (T,) per program
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
                 pl.BlockSpec(
                     (1, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
@@ -413,7 +430,7 @@ def composite_tiles_pallas_bwd(
             ),
             out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
             scratch_shapes=[pltpu.VMEM((K // depth_block, P), jnp.float32)],
-        )(seg_len, attrs, g_tiles)
+        )(seg_len, _tile_ids_or_arange(tile_ids, T, T), attrs, g_tiles)
     TB = tile_block
     T_pad = -(-T // TB) * TB
     if T_pad != T:
@@ -424,6 +441,7 @@ def composite_tiles_pallas_bwd(
         kernel,
         grid=(T_pad // TB,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
             pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -431,35 +449,37 @@ def composite_tiles_pallas_bwd(
             (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
-    )(attrs, g_tiles)
+    )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
-def _composite_pallas(attrs, seg_len, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _composite_pallas(attrs, seg_len, tile_ids, img_wh, tile_size, pixel_offset, depth_block, t_eps):
     return composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len,
+        tile_ids=tile_ids,
     )
 
 
-def _composite_pallas_fwd(attrs, seg_len, img_wh, tile_size, pixel_offset, depth_block, t_eps):
+def _composite_pallas_fwd(attrs, seg_len, tile_ids, img_wh, tile_size, pixel_offset, depth_block, t_eps):
     out = composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len,
+        tile_ids=tile_ids,
     )
     # chunk-recompute checkpointing: residual = inputs only (same policy as
     # the XLA path / reference gs_model.py:799-803)
-    return out, (attrs, seg_len)
+    return out, (attrs, seg_len, tile_ids)
 
 
 def _composite_pallas_bwd(
     img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
-    attrs, seg_len = res
+    attrs, seg_len, tile_ids = res
     g_attrs = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
-        seg_len,
+        seg_len, tile_ids=tile_ids,
     )
-    return (g_attrs, None)  # same (T, 16, K) layout as attrs
+    return (g_attrs, None, None)  # same (T, 16, K) layout as attrs
 
 
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
@@ -629,8 +649,41 @@ def rasterize_tiles_pallas(
         attrs = _slot_attrs(packed, ids, mask)
         seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
         out = _composite_pallas(
-            attrs, seg_len, img_wh, ts, pixel_offset, depth_block, t_eps
+            attrs, seg_len, None, img_wh, ts, pixel_offset, depth_block, t_eps
         )
     tile_imgs = jnp.swapaxes(out[:, :3, :], 1, 2)  # (T, P, 3)
     image = tile_imgs.reshape(nty, ntx, ts, ts, 3).transpose(0, 2, 1, 3, 4)
     return image.reshape(nty * ts, ntx * ts, 3)[:height, :width]
+
+
+def rasterize_tile_block_pallas(
+    ids,
+    mask,
+    mean2d,
+    conic,
+    color,
+    opacity,
+    tile_idx,
+    img_wh,
+    tile_size: int = 16,
+    pixel_offset: float = 0.5,
+    depth_block: int | None = None,
+    t_eps: float = 1e-4,
+):
+    """Composite an arbitrary subset of tiles with the fused kernels.
+
+    Pallas counterpart of ops.rasterize.rasterize_tile_block, used by the
+    tile-sharded multi-chip path (parallel/tile_sharding.py): each chip
+    composites only its own contiguous tile slice. tile_idx: (Ts,) int32
+    global tile ids. Returns (Ts, ts, ts, 3)."""
+    ts = tile_size
+    packed = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], color], axis=1
+    )  # (N, 9)
+    attrs = _slot_attrs(packed, ids, mask)
+    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+    out = _composite_pallas(
+        attrs, seg_len, tile_idx.astype(jnp.int32), img_wh, ts, pixel_offset,
+        depth_block, t_eps,
+    )
+    return jnp.swapaxes(out[:, :3, :], 1, 2).reshape(-1, ts, ts, 3)

@@ -53,13 +53,27 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
         mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard, axis=0)
         tile_idx = start + jnp.arange(shard, dtype=jnp.int32)
         # padded tiles (id >= T) get fully-masked slots already (mask pad 0)
-        local = rasterize.rasterize_tile_block(
-            ids_s, mask_s, mean2d, conic, color, opacity,
-            jnp.minimum(tile_idx, T - 1), img_wh,
-            tile_size=config.tile_size,
-            tile_chunk=min(config.tile_chunk, shard),
-            pixel_offset=config.pixel_offset,
-        )  # (shard, ts, ts, 3)
+        if config.use_pallas:
+            from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
+                rasterize_tile_block_pallas,
+            )
+
+            local = rasterize_tile_block_pallas(
+                ids_s, mask_s, mean2d, conic, color, opacity,
+                jnp.minimum(tile_idx, T - 1), img_wh,
+                tile_size=config.tile_size,
+                pixel_offset=config.pixel_offset,
+                depth_block=config.depth_block,
+                t_eps=config.t_eps,
+            )  # (shard, ts, ts, 3)
+        else:
+            local = rasterize.rasterize_tile_block(
+                ids_s, mask_s, mean2d, conic, color, opacity,
+                jnp.minimum(tile_idx, T - 1), img_wh,
+                tile_size=config.tile_size,
+                tile_chunk=min(config.tile_chunk, shard),
+                pixel_offset=config.pixel_offset,
+            )  # (shard, ts, ts, 3)
         tiles = jax.lax.all_gather(
             local, axis_name, axis=0, tiled=True
         )  # (T_pad, ts, ts, 3)

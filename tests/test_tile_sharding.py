@@ -38,6 +38,32 @@ def test_tile_sharded_render_matches_single_device():
     )
 
 
+def test_tile_sharded_render_pallas_matches_single_device():
+    from jax.experimental.pallas import tpu as pltpu
+
+    model, Pm, Km, wh, n = _scene(seed=21)
+    cfg = RenderConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
+    ref, _ = render(model, Pm, Km, wh, cfg)
+
+    mesh = make_mesh(4)
+    pcfg = cfg._replace(use_pallas=True)
+    render_fn = make_tile_sharded_render(mesh, wh, pcfg)
+    sharded = jax.jit(
+        jax.shard_map(
+            lambda p, a, P_, K_: render_fn(p, a, P_, K_),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = sharded(model.trainable(), model.alive, Pm, Km)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_tile_sharded_step_gradients_match():
     model, Pm, Km, wh, n = _scene(seed=22)
     cfg = TrainConfig(tile_size=16, max_per_tile=64, tile_chunk=2)
