@@ -35,18 +35,16 @@ class TileBins(NamedTuple):
     dropped_pairs: jnp.ndarray  # () int32 pairs lost to max_pairs capacity
     truncated: jnp.ndarray  # () int32 fragments lost to max_per_tile
     # --- pair-space gradient routing (ops/rasterize_pallas) ---
-    # For tile-sorted pair position q: its tile (sentinel T if padding) and
-    # its depth-major pair index. Depth-major pairs are contiguous per
-    # depth-rank; rank r owns [rank_offset[r], rank_cum[r]) and maps to
-    # gaussian order[r]. Lets the backward route per-slot gradients to
-    # per-gaussian rows with gathers + UNIQUE scatters + one cumsum instead
-    # of a duplicate-accumulating scatter-add (~3x faster on TPU).
-    tile_of_pair: jnp.ndarray  # (P,) int32
-    dm_index_of_pair: jnp.ndarray  # (P,) int32
-    seg_start: jnp.ndarray  # (T,) int32 first pair position of each tile
-    rank_offset: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum
-    rank_cum: jnp.ndarray  # (N,) int32 inclusive pair-count cumsum
-    order: jnp.ndarray  # (N,) int32 depth rank -> gaussian id
+    # Depth-major pairs are contiguous per depth rank (rank r owns
+    # [rank_cum[r-1], rank_cum[r])), so per-gaussian gradient reduction
+    # becomes: gather per-slot grads into depth-major pair order
+    # (slot_of_dm), one cumsum, a sorted boundary gather at rank_cum, and a
+    # permutation gather by inv_rank — all gather-side ops, replacing the
+    # duplicate-accumulating scatter-add transpose (measured 157 ms -> ~63 ms
+    # at 2.5M pairs on v5e; gathers are 5-15x cheaper than scatters).
+    slot_of_dm: jnp.ndarray  # (P,) int32 dense-table slot t*K+k of depth-major pair j, or sentinel T*K
+    rank_cum: jnp.ndarray  # (N,) int32 inclusive pair-count cumsum per depth rank, clamped to P
+    inv_rank: jnp.ndarray  # (N,) int32 depth rank of gaussian i
 
 
 def bin_gaussians(
@@ -131,6 +129,24 @@ def bin_gaussians(
     ids = gid_s[gather_idx]
     mask = k[None, :] < jnp.minimum(seg_len, K)[:, None]
 
+    # --- 6. gradient-routing tables (see TileBins docstring) ---
+    # slot of tile-sorted pair q (sentinel T*K for padding/truncated pairs),
+    # permuted into depth-major order; both scatters are permutations.
+    t_q = jnp.minimum(tile_s, T - 1)
+    k_q = j - seg_start[t_q]
+    in_table = (tile_s < T) & (k_q < K)
+    slot_q = jnp.where(in_table, t_q * K + k_q, T * K).astype(jnp.int32)
+    slot_of_dm = (
+        jnp.zeros((P,), jnp.int32)
+        .at[dm_idx]
+        .set(slot_q, unique_indices=True, mode="drop")
+    )
+    inv_rank = (
+        jnp.zeros((N,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(N, dtype=jnp.int32), unique_indices=True, mode="drop")
+    )
+
     dropped = jnp.maximum(total - P, 0).astype(jnp.int32)
     truncated = jnp.sum(jnp.maximum(seg_len - K, 0)).astype(jnp.int32)
     return TileBins(
@@ -139,10 +155,7 @@ def bin_gaussians(
         num_pairs=total.astype(jnp.int32),
         dropped_pairs=dropped,
         truncated=truncated,
-        tile_of_pair=tile_s,
-        dm_index_of_pair=dm_idx,
-        seg_start=seg_start,
-        rank_offset=offsets.astype(jnp.int32),
-        rank_cum=cum.astype(jnp.int32),
-        order=order,
+        slot_of_dm=slot_of_dm,
+        rank_cum=jnp.minimum(cum, P).astype(jnp.int32),
+        inv_rank=inv_rank,
     )

@@ -524,9 +524,9 @@ def _slot_attrs(packed, ids, mask):
     return jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def _composite_pairroute(
-    packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds, order,
+    packed, ids, mask, slot_of_dm, rank_cum, inv_rank,
     img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _slot_attrs(packed, ids, mask)
@@ -537,69 +537,52 @@ def _composite_pairroute(
 
 
 def _composite_pairroute_fwd(
-    packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds, order,
+    packed, ids, mask, slot_of_dm, rank_cum, inv_rank,
     img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
-    out = _composite_pairroute(
-        packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds,
-        order, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    attrs = _slot_attrs(packed, ids, mask)
+    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+    out = composite_tiles_pallas(
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
     )
-    # recompute policy: keep only the inputs
-    res = (packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds, order)
+    # save the gathered attrs (the kernel input) rather than regathering in
+    # backward — 160 MB HBM at bench scale buys back a 22 ms gather
+    res = (attrs, seg_len, slot_of_dm, rank_cum, inv_rank)
     return out, res
 
 
 def _composite_pairroute_bwd(
     img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
-    """Route per-slot kernel gradients to per-gaussian rows without a
-    duplicate-accumulating scatter:
+    """Route per-slot kernel gradients to per-gaussian rows with gathers
+    only (no duplicate-accumulating scatter):
 
-      slot (t, k) --gather--> tile-sorted pair q --UNIQUE scatter-->
-      depth-major pair j --cumsum + segment diff--> depth rank r
-      --UNIQUE scatter--> gaussian row order[r]
+      slot (t, k) --gather by slot_of_dm--> depth-major pair j
+      --cumsum + boundary gather at rank_cum--> per-depth-rank sums
+      --permutation gather by inv_rank--> per-gaussian rows
 
-    Every pair is a distinct (gaussian, tile) instance, so all scatters are
-    permutations. The segment reduction is an inclusive cumsum differenced at
-    rank boundaries; its float32 prefix error is ~1e-5 relative — far below
-    SGD gradient noise (measured ~3x faster than .at[].add at 2.5M slots).
+    Depth-major pairs are contiguous per rank, so the segment reduction is
+    an inclusive cumsum differenced at the (sorted) rank_cum boundaries.
+    Measured on v5e at 2.5M pairs: ~63 ms vs 157 ms for the 9-column
+    scatter-add transpose; the float32 prefix error of the cumsum diff is
+    ~1e-5 relative — far below SGD gradient noise (tests/test_pair_route).
     """
-    packed, ids, mask, tile_of_pair, dm_idx, seg_start, rank_bounds, order = res
-    attrs = _slot_attrs(packed, ids, mask)
-    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+    attrs, seg_len, slot_of_dm, rank_cum, inv_rank = res
     slot_grads = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len,
     )  # (T, 16, K)
     T, _, K = slot_grads.shape
-    P = tile_of_pair.shape[0]
-    N = packed.shape[0]
-    rank_offset, rank_cum = rank_bounds
 
     flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * K, 9)
-    q_valid = tile_of_pair < T
-    t_q = jnp.minimum(tile_of_pair, T - 1)
-    k_q = jnp.arange(P, dtype=jnp.int32) - seg_start[t_q]
-    slot_idx = jnp.clip(t_q * K + k_q, 0, T * K - 1)
-    in_table = q_valid & (k_q >= 0) & (k_q < K)
-    pair_grad = jnp.where(in_table[:, None], flat[slot_idx], 0.0)  # (P, 9)
-
-    dm = jnp.zeros((P, 9), flat.dtype).at[dm_idx].set(
-        pair_grad, unique_indices=True, mode="drop"
-    )
-    csum = jnp.cumsum(dm, axis=0)
-    cnt = rank_cum - rank_offset
-    end = jnp.clip(rank_cum - 1, 0, P - 1)
-    start_prev = jnp.clip(rank_offset - 1, 0, P - 1)
-    sums = jnp.where(
-        (cnt > 0)[:, None],
-        csum[end] - jnp.where((rank_offset > 0)[:, None], csum[start_prev], 0.0),
-        0.0,
-    )  # (N, 9) per depth rank
-    g_packed = jnp.zeros((N, 9), flat.dtype).at[order].set(
-        sums, unique_indices=True, mode="drop"
-    )
-    return (g_packed, None, None, None, None, None, None, None)
+    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
+    pair_grad = flat_pad[slot_of_dm]  # (P, 9); sentinel T*K -> zero row
+    csum = jnp.cumsum(pair_grad, axis=0)
+    csum_pad = jnp.concatenate([jnp.zeros((1, 9), flat.dtype), csum])
+    ends = csum_pad[rank_cum]  # (N, 9) sorted boundary gather
+    sums = ends - jnp.concatenate([jnp.zeros((1, 9), flat.dtype), ends[:-1]])
+    g_packed = sums[inv_rank]  # (N, 9) permutation gather
+    return (g_packed, None, None, None, None, None)
 
 
 _composite_pairroute.defvjp(_composite_pairroute_fwd, _composite_pairroute_bwd)
@@ -641,9 +624,8 @@ def rasterize_tiles_pallas(
 
     if route is not None:
         out = _composite_pairroute(
-            packed, ids, mask, route.tile_of_pair, route.dm_index_of_pair,
-            route.seg_start, (route.rank_offset, route.rank_cum), route.order,
-            img_wh, ts, pixel_offset, depth_block, t_eps,
+            packed, ids, mask, route.slot_of_dm, route.rank_cum,
+            route.inv_rank, img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:
         attrs = _slot_attrs(packed, ids, mask)

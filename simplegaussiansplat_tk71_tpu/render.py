@@ -25,10 +25,10 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
     depth_block: int | None = None  # pallas: blocked kernel w/ early-out
     t_eps: float = 1e-4  # pallas blocked kernel early-out threshold
-    pair_grad_route: bool = False  # experimental: pair-space grad routing
-    # (correct — see tests/test_pair_route.py — but the (P, 9) XLA routing
-    # ops pad 9 -> 128 lanes and measure slower than the scatter-add
-    # transpose on v5e; kept for the future in-kernel pair-space variant)
+    pair_grad_route: bool = True  # pair-space grad routing (pallas path):
+    # per-gaussian gradient reduction via gather + cumsum + boundary gather
+    # in depth-major pair order instead of a 9-column scatter-add transpose
+    # (binning.TileBins docstring; measured 358 -> 328 ms/step at 1M/800^2)
     snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
 
 
