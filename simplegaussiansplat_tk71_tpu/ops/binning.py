@@ -35,16 +35,18 @@ class TileBins(NamedTuple):
     dropped_pairs: jnp.ndarray  # () int32 pairs lost to max_pairs capacity
     truncated: jnp.ndarray  # () int32 fragments lost to max_per_tile
     # --- pair-space gradient routing (ops/rasterize_pallas) ---
-    # Depth-major pairs are contiguous per depth rank (rank r owns
-    # [rank_cum[r-1], rank_cum[r])), so per-gaussian gradient reduction
-    # becomes: gather per-slot grads into depth-major pair order
-    # (slot_of_dm), one cumsum, a sorted boundary gather at rank_cum, and a
-    # permutation gather by inv_rank — all gather-side ops, replacing the
-    # duplicate-accumulating scatter-add transpose (measured 157 ms -> ~63 ms
-    # at 2.5M pairs on v5e; gathers are 5-15x cheaper than scatters).
+    # Depth-major pairs are contiguous per depth rank with SORTED rank keys
+    # (rank_of_dm), so per-gaussian gradient reduction becomes: gather
+    # per-slot grads into depth-major pair order (slot_of_dm), a sorted-key
+    # segment sum (ops/segsum pallas kernel: per-block one-hot MXU matmuls
+    # with a carried boundary partial), and a permutation gather by inv_rank
+    # — replacing the duplicate-accumulating scatter-add transpose
+    # (measured 157 ms -> ~45 ms at 2.5M pairs on v5e; TPU gathers are
+    # 5-15x cheaper than scatters, and the segment sum rides the MXU).
     slot_of_dm: jnp.ndarray  # (P,) int32 dense-table slot t*K+k of depth-major pair j, or sentinel T*K
-    rank_cum: jnp.ndarray  # (N,) int32 inclusive pair-count cumsum per depth rank, clamped to P
+    rank_of_dm: jnp.ndarray  # (P,) int32 owner depth rank of pair j (sorted)
     inv_rank: jnp.ndarray  # (N,) int32 depth rank of gaussian i
+    n_live: jnp.ndarray  # () int32 ranks with >=1 surviving pair (a prefix)
 
 
 def bin_gaussians(
@@ -146,6 +148,13 @@ def bin_gaussians(
         .at[order]
         .set(jnp.arange(N, dtype=jnp.int32), unique_indices=True, mode="drop")
     )
+    # ranks with surviving pairs form a prefix: counts > 0 iff valid (valid
+    # ranks sort first; spans are always >= 1), and capacity drops cut the
+    # depth-major tail (offsets nondecreasing)
+    n_live = jnp.minimum(
+        jnp.sum(counts > 0),
+        jnp.searchsorted(offsets, P, side="left"),
+    ).astype(jnp.int32)
 
     dropped = jnp.maximum(total - P, 0).astype(jnp.int32)
     truncated = jnp.sum(jnp.maximum(seg_len - K, 0)).astype(jnp.int32)
@@ -156,6 +165,7 @@ def bin_gaussians(
         dropped_pairs=dropped,
         truncated=truncated,
         slot_of_dm=slot_of_dm,
-        rank_cum=jnp.minimum(cum, P).astype(jnp.int32),
+        rank_of_dm=g,
         inv_rank=inv_rank,
+        n_live=n_live,
     )

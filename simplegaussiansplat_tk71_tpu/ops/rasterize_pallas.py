@@ -524,9 +524,9 @@ def _slot_attrs(packed, ids, mask):
     return jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _composite_pairroute(
-    packed, ids, mask, slot_of_dm, rank_cum, inv_rank,
+    packed, ids, mask, slot_of_dm, rank_of_dm, inv_rank, n_live,
     img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _slot_attrs(packed, ids, mask)
@@ -537,7 +537,7 @@ def _composite_pairroute(
 
 
 def _composite_pairroute_fwd(
-    packed, ids, mask, slot_of_dm, rank_cum, inv_rank,
+    packed, ids, mask, slot_of_dm, rank_of_dm, inv_rank, n_live,
     img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _slot_attrs(packed, ids, mask)
@@ -547,7 +547,7 @@ def _composite_pairroute_fwd(
     )
     # save the gathered attrs (the kernel input) rather than regathering in
     # backward — 160 MB HBM at bench scale buys back a 22 ms gather
-    res = (attrs, seg_len, slot_of_dm, rank_cum, inv_rank)
+    res = (attrs, seg_len, slot_of_dm, rank_of_dm, inv_rank, n_live)
     return out, res
 
 
@@ -555,19 +555,23 @@ def _composite_pairroute_bwd(
     img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
     """Route per-slot kernel gradients to per-gaussian rows with gathers
-    only (no duplicate-accumulating scatter):
+    and an MXU segment sum (no duplicate-accumulating scatter):
 
       slot (t, k) --gather by slot_of_dm--> depth-major pair j
-      --cumsum + boundary gather at rank_cum--> per-depth-rank sums
+      --sorted-key segment sum (ops/segsum)--> per-depth-rank sums
       --permutation gather by inv_rank--> per-gaussian rows
 
-    Depth-major pairs are contiguous per rank, so the segment reduction is
-    an inclusive cumsum differenced at the (sorted) rank_cum boundaries.
-    Measured on v5e at 2.5M pairs: ~63 ms vs 157 ms for the 9-column
-    scatter-add transpose; the float32 prefix error of the cumsum diff is
-    ~1e-5 relative — far below SGD gradient noise (tests/test_pair_route).
+    Depth-major pairs are contiguous per rank with sorted rank keys, so the
+    segment reduction is block-wise one-hot matmuls with a carried boundary
+    partial. Measured on v5e at 2.5M pairs: ~45 ms vs 157 ms for the
+    9-column scatter-add transpose (tests/test_pair_route checks grads).
     """
-    attrs, seg_len, slot_of_dm, rank_cum, inv_rank = res
+    from simplegaussiansplat_tk71_tpu.ops.segsum import (
+        segment_sum_sorted_masked,
+    )
+
+    attrs, seg_len, slot_of_dm, rank_of_dm, inv_rank, n_live = res
+    N = inv_rank.shape[0]
     slot_grads = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len,
@@ -577,12 +581,9 @@ def _composite_pairroute_bwd(
     flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * K, 9)
     flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
     pair_grad = flat_pad[slot_of_dm]  # (P, 9); sentinel T*K -> zero row
-    csum = jnp.cumsum(pair_grad, axis=0)
-    csum_pad = jnp.concatenate([jnp.zeros((1, 9), flat.dtype), csum])
-    ends = csum_pad[rank_cum]  # (N, 9) sorted boundary gather
-    sums = ends - jnp.concatenate([jnp.zeros((1, 9), flat.dtype), ends[:-1]])
+    sums = segment_sum_sorted_masked(pair_grad, rank_of_dm, N, n_live)
     g_packed = sums[inv_rank]  # (N, 9) permutation gather
-    return (g_packed, None, None, None, None, None)
+    return (g_packed, None, None, None, None, None, None)
 
 
 _composite_pairroute.defvjp(_composite_pairroute_fwd, _composite_pairroute_bwd)
@@ -624,8 +625,9 @@ def rasterize_tiles_pallas(
 
     if route is not None:
         out = _composite_pairroute(
-            packed, ids, mask, route.slot_of_dm, route.rank_cum,
-            route.inv_rank, img_wh, ts, pixel_offset, depth_block, t_eps,
+            packed, ids, mask, route.slot_of_dm, route.rank_of_dm,
+            route.inv_rank, route.n_live,
+            img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:
         attrs = _slot_attrs(packed, ids, mask)

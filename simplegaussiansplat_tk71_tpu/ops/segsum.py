@@ -1,0 +1,133 @@
+"""Sorted-key segment sum as a Pallas TPU kernel.
+
+The gradient-routing backward (ops/rasterize_pallas._composite_pairroute_bwd)
+must reduce per-pair gradient rows to per-depth-rank rows. Depth-major pairs
+are contiguous per rank with *sorted* keys, so the reduction over a block of
+B pairs is a one-hot matmul on the MXU:
+
+    sums_local[r, c] = sum_j [keys[j] - rf == r] * vals[j, c]     (rf = min key)
+
+A block of B pairs spans at most B distinct ranks (every present rank has
+>= 1 pair and ranks with pairs are consecutive inside a block), so local
+offsets fit [0, B). Each block DMAs its (B, C) result to rows
+[rf, rf + B) of the output; consecutive blocks' windows overlap only in
+ascending order on the sequential TPU grid, so later (complete) values
+overwrite earlier (partial) ones, and a rank spanning blocks is carried:
+the VMEM carry holds the running partial of the block's last rank and is
+folded into local row 0 of the next block when that rank continues.
+
+This replaces an XLA cumsum + sorted boundary gather + concat chain
+(measured 45 ms at 2.5M pairs on v5e) with ~10 ms of MXU work.
+
+Restriction: rows of the output in [n_live, N) for ranks with zero pairs in
+the *suffix* are left unwritten (garbage) — callers mask with the live-rank
+prefix count (ranks with pairs always form a prefix: invalid gaussians sort
+to the tail of the depth order, and capacity drops cut the tail).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _segsum_kernel(B, C, inner, vals_ref, keys_ref, out_ref, stage_ref,
+                   carry_ref, last_rank_ref, sem):
+    s0 = pl.program_id(0)
+
+    @pl.when(s0 == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros((1, C), jnp.float32)
+        last_rank_ref[0] = -1
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    for i in range(inner):
+        keys = keys_ref[i * B:(i + 1) * B, 0]  # (B,) int32, sorted
+        vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
+        rf = jnp.min(keys)
+        rl = jnp.max(keys)
+        local = (keys - rf)[:, None]  # (B, 1) in [0, B)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        onehot = (local == cols).astype(jnp.float32)  # (B, B): [j, r]
+        sums = jax.lax.dot_general(
+            onehot, vals, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, C) per local rank
+        # fold the carried partial of the previous block's last rank into
+        # local row 0 when that rank continues into this block
+        cont = (last_rank_ref[0] == rf).astype(jnp.float32)
+        sums = sums + jnp.where(rows == 0, cont * carry_ref[0, :][None, :], 0.0)
+        # new carry: the (now partially complete) sum of this block's last rank
+        carry_ref[0, :] = jnp.sum(
+            jnp.where(rows == (rl - rf), sums, 0.0), axis=0
+        )
+        last_rank_ref[0] = rl
+        # final rows for all ranks that END in this block; rows of the last
+        # rank / zero rows are overwritten by later blocks (ascending windows).
+        # Stage at 128 lanes: Mosaic requires HBM DMA slices lane-aligned to
+        # the (1, 128) tiling (row offsets stay arbitrary).
+        stage_ref[:, :] = jnp.pad(sums, ((0, 0), (0, 128 - C)))
+        copy = pltpu.make_async_copy(stage_ref, out_ref.at[pl.ds(rf, B)], sem)
+        copy.start()
+        copy.wait()
+
+
+def segment_sum_sorted(
+    vals: jnp.ndarray,
+    keys: jnp.ndarray,
+    num_segments: int,
+    block: int = 1024,
+    inner: int = 4,
+) -> jnp.ndarray:
+    """Segment sum of ``vals`` (P, C) by sorted int32 ``keys`` (P,) in
+    [0, num_segments). Returns (num_segments, C).
+
+    Keys must be nondecreasing and the set of keys that occur must be a
+    prefix [0, n_live) of the segment range (tail segments get zeros).
+    """
+    P, C = vals.shape
+    N = num_segments
+    step = block * inner
+    P_pad = -(-P // step) * step
+    if P_pad != P:
+        vals = jnp.pad(vals, ((0, P_pad - P), (0, 0)))
+        keys = jnp.pad(keys, (0, P_pad - P), constant_values=N - 1)
+    kernel = functools.partial(_segsum_kernel, block, C, inner)
+    out = pl.pallas_call(
+        kernel,
+        grid=(P_pad // step,),
+        in_specs=[
+            pl.BlockSpec(
+                (step, C), lambda s: (s, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (step, 1), lambda s: (s, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((N + block, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block, 128), jnp.float32),  # DMA staging (lane-aligned)
+            pltpu.VMEM((1, C), jnp.float32),  # carry
+            pltpu.SMEM((1,), jnp.int32),  # last rank
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(vals, keys[:, None])
+    return out[:N, :C]
+
+
+def segment_sum_sorted_masked(
+    vals: jnp.ndarray,
+    keys: jnp.ndarray,
+    num_segments: int,
+    n_live: jnp.ndarray,
+    block: int = 1024,
+    inner: int = 4,
+) -> jnp.ndarray:
+    """segment_sum_sorted with the unwritten-tail rows zeroed: rows at
+    index >= n_live (segments with no pairs) are forced to 0."""
+    out = segment_sum_sorted(vals, keys, num_segments, block, inner)
+    rows = jnp.arange(num_segments, dtype=jnp.int32)[:, None]
+    return jnp.where(rows < n_live, out, 0.0)

@@ -121,14 +121,22 @@ def render_params(
             )
         return image, bins.num_pairs, bins.dropped_pairs, bins.truncated
 
-    images, num_pairs, dropped, truncated = jax.vmap(per_camera)(
-        proj.mean2d,
-        proj.conic,
-        proj.depth,
-        proj.color,
-        proj.opacity,
-        proj.bbox_half,
-        proj.valid,
+    # lax.map (scan), not vmap: cameras composite sequentially, so the
+    # P-sized binning buffers exist once rather than per camera, and the
+    # pallas kernels (incl. the manual-DMA segment sum in the routed
+    # backward) trace normally instead of under a batching transform. The
+    # TPU executes one camera's ops serially either way.
+    images, num_pairs, dropped, truncated = jax.lax.map(
+        lambda a: per_camera(*a),
+        (
+            proj.mean2d,
+            proj.conic,
+            proj.depth,
+            proj.color,
+            proj.opacity,
+            proj.bbox_half,
+            proj.valid,
+        ),
     )
     aux = RenderAux(
         visible=jnp.any(proj.valid, axis=0),
