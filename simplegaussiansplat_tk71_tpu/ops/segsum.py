@@ -54,6 +54,11 @@ def _segsum_kernel(B, C, inner, vals_ref, keys_ref, out_ref, stage_ref,
         sums = jax.lax.dot_general(
             onehot, vals, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # HIGHEST: the TPU default truncates f32 matmul inputs to one
+            # bf16 pass, which rounds every gradient row to ~3 decimal
+            # digits (measured 2.7e-2 abs err at unit scale); bf16x3 keeps
+            # the segment sums f32-exact for the 0/1 one-hot operand
+            precision=jax.lax.Precision.HIGHEST,
         )  # (B, C) per local rank
         # fold the carried partial of the previous block's last rank into
         # local row 0 when that rank continues into this block
@@ -78,8 +83,8 @@ def segment_sum_sorted(
     vals: jnp.ndarray,
     keys: jnp.ndarray,
     num_segments: int,
-    block: int = 1024,
-    inner: int = 4,
+    block: int = 256,
+    inner: int = 8,
 ) -> jnp.ndarray:
     """Segment sum of ``vals`` (P, C) by sorted int32 ``keys`` (P,) in
     [0, num_segments). Returns (num_segments, C).
@@ -123,8 +128,8 @@ def segment_sum_sorted_masked(
     keys: jnp.ndarray,
     num_segments: int,
     n_live: jnp.ndarray,
-    block: int = 1024,
-    inner: int = 4,
+    block: int = 256,
+    inner: int = 8,
 ) -> jnp.ndarray:
     """segment_sum_sorted with the unwritten-tail rows zeroed: rows at
     index >= n_live (segments with no pairs) are forced to 0."""

@@ -54,6 +54,8 @@ class TrainConfig:
     max_pairs: Optional[int] = None
     tile_chunk: int = 64
     bbox_max_frac: float = 0.4  # tile_max_width quirk, gs_model.py:364-365
+    # None = auto: fused Pallas kernels on TPU, jnp path on CPU
+    use_pallas: Optional[bool] = None
 
     # behavior quirks
     reset_adam_every_step: bool = False  # reference does this (gs_control.py:199)

@@ -96,6 +96,9 @@ class Trainer:
     ):
         self.config = config
         self.dataset = dataset
+        use_pallas = config.use_pallas
+        if use_pallas is None:  # auto: fused kernels anywhere but CPU
+            use_pallas = jax.default_backend() != "cpu"
         self.render_cfg = render_cfg or RenderConfig(
             tile_size=config.tile_size,
             max_per_tile=config.max_per_tile,
@@ -103,6 +106,7 @@ class Trainer:
             tile_chunk=config.tile_chunk,
             sh_degree=config.sh_degree,
             bbox_max_frac=config.bbox_max_frac,
+            use_pallas=use_pallas,
         )
         self.model = model
         self.optimizer = make_optimizer(config)
