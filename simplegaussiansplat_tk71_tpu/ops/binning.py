@@ -133,20 +133,18 @@ def bin_gaussians(
 
     # --- 6. gradient-routing tables (see TileBins docstring) ---
     # slot of tile-sorted pair q (sentinel T*K for padding/truncated pairs),
-    # permuted into depth-major order; both scatters are permutations.
+    # permuted into depth-major order. Both permutation inverses are done
+    # with key sorts, not scatters: sorting (perm, payload) by the unique
+    # perm keys IS the inverse permutation, and lax.sort measures ~2x
+    # cheaper than the equivalent unique scatter-set on v5e (9.6 ms vs
+    # 17.5 ms at 2.5M int32).
     t_q = jnp.minimum(tile_s, T - 1)
     k_q = j - seg_start[t_q]
     in_table = (tile_s < T) & (k_q < K)
     slot_q = jnp.where(in_table, t_q * K + k_q, T * K).astype(jnp.int32)
-    slot_of_dm = (
-        jnp.zeros((P,), jnp.int32)
-        .at[dm_idx]
-        .set(slot_q, unique_indices=True, mode="drop")
-    )
-    inv_rank = (
-        jnp.zeros((N,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(N, dtype=jnp.int32), unique_indices=True, mode="drop")
+    _, slot_of_dm = jax.lax.sort((dm_idx, slot_q), num_keys=1)
+    _, inv_rank = jax.lax.sort(
+        (order, jnp.arange(N, dtype=jnp.int32)), num_keys=1
     )
     # ranks with surviving pairs form a prefix: counts > 0 iff valid (valid
     # ranks sort first; spans are always >= 1), and capacity drops cut the
