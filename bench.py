@@ -84,11 +84,15 @@ def main():
         "metrics:", {k: float(v) for k, v in m.items()},
     )
 
-    iters = 10
+    iters = 20
     t0 = time.time()
     for _ in range(iters):
         p, o, s, m = step(p, model.alive, o, s, P, K, target)
-    jax.block_until_ready(p)
+    # host fetch, not block_until_ready: the axon tunnel's block_until_ready
+    # does not reliably sync (benchmarks/micro_sort_check2.py); the steps
+    # are chained through p/o/s so one scalar fetch syncs them all
+    # (~26 ms RPC overhead amortized over the loop)
+    float(m["loss"])
     dt = (time.time() - t0) / iters
     rays_per_s = W * H / dt
     log(f"steady-state: {dt * 1e3:.1f} ms/step -> {rays_per_s:.3e} rays/s")

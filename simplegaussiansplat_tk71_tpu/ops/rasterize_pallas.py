@@ -485,6 +485,69 @@ def _composite_pallas_bwd(
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
 
 
+def _window_table_kernel(K, seg_start_ref, seg_len_ref, src_ref, out_ref,
+                         scratch, sem):
+    """Slice one tile's (A, K) attr block out of tile-sorted pair space.
+
+    Pair-space windows start at arbitrary offsets, but Mosaic DMA lane
+    slices must be 128-aligned — so read the 128-aligned superset window
+    and rotate in-register. pltpu.roll requires a NONNEGATIVE dynamic
+    shift: a traced negative shift compiles but returns wrong lanes
+    (observed on v5e), hence the (K + 128) - r form.
+    """
+    t = pl.program_id(0)
+    start = seg_start_ref[t]
+    a0 = (start // 128) * 128
+    r = start - a0
+    W = _window_lanes(K)
+    copy = pltpu.make_async_copy(src_ref.at[:, pl.ds(a0, W)], scratch, sem)
+    copy.start()
+    copy.wait()
+    win = scratch[:, :]  # (A, W)
+    shifted = pltpu.roll(win, W - r, axis=1)[:, :K]
+    length = jnp.minimum(seg_len_ref[t], K)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NUM_ATTR_ROWS, K), 1)
+    out_ref[0] = jnp.where(lane < length, shifted, 0.0)
+
+
+def _window_lanes(K):
+    """DMA window size: K rounded up to the 128-lane tiling, plus one extra
+    128 so the aligned-floor read still covers [start, start + K)."""
+    return -(-K // 128) * 128 + 128
+
+
+def pair_attrs_to_table(attrs_pair, seg_start, seg_len, K):
+    """(A, Pa) tile-sorted pair attrs -> (T, A, K) per-tile table.
+
+    attrs_pair must be lane-padded so every window read
+    [128-floor(seg_start[t]), +K+128) is in bounds, i.e. Pa >= P + K + 128
+    rounded up to 128 (pad value irrelevant: slots beyond the tile's true
+    length are zeroed, which the compositors treat as invalid via op == 0).
+    Replaces the (T, K) id-table gather + (T*K, 9) row gather chain
+    (measured 18 + 20 ms at 2.56M slots on v5e) with one pair-space row
+    gather + ~2 ms of DMA."""
+    T = seg_start.shape[0]
+    kernel = functools.partial(_window_table_kernel, K)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, NUM_ATTR_ROWS, K), lambda t: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTR_ROWS, _window_lanes(K)), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(seg_start, seg_len, attrs_pair)
+
+
 @jax.custom_vjp
 def _gather_rows(packed, ids):
     """packed[ids] whose transpose scatters column-wise.
@@ -524,66 +587,81 @@ def _slot_attrs(packed, ids, mask):
     return jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _pair_table(packed, gid_s, seg_start, seg_len, K):
+    """Gather pair-space attrs and window-slice them into the (T, A, K)
+    kernel table (no (T, K) id table, no slot-space row gather)."""
+    P = gid_s.shape[0]
+    ap = packed[gid_s]  # (P, 9) one row gather
+    ap = jnp.swapaxes(ap, 0, 1)  # (9, P)
+    Pa = -(-P // 128) * 128 + _window_lanes(K)
+    ap = jnp.pad(ap, ((0, NUM_ATTR_ROWS - ap.shape[0]), (0, Pa - P)))
+    return pair_attrs_to_table(ap, seg_start, seg_len, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _composite_pairroute(
-    packed, ids, mask, slot_of_dm, rank_of_dm, inv_rank, n_live,
-    img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, seg_of_gauss,
+    n_live, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
-    attrs = _slot_attrs(packed, ids, mask)
-    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+    attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
+    seg_len_c = jnp.minimum(seg_len, K)
     return composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
     )
 
 
 def _composite_pairroute_fwd(
-    packed, ids, mask, slot_of_dm, rank_of_dm, inv_rank, n_live,
-    img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, seg_of_gauss,
+    n_live, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
-    attrs = _slot_attrs(packed, ids, mask)
-    seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
+    attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
+    seg_len_c = jnp.minimum(seg_len, K)
     out = composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
     )
-    # save the gathered attrs (the kernel input) rather than regathering in
-    # backward — 160 MB HBM at bench scale buys back a 22 ms gather
-    res = (attrs, seg_len, slot_of_dm, rank_of_dm, inv_rank, n_live)
+    # save the windowed attrs (the kernel input) rather than regathering in
+    # backward — 160 MB HBM at bench scale buys back the pair gather
+    res = (attrs, seg_len_c, slot_of_om, key_of_om, seg_of_gauss, n_live)
     return out, res
 
 
 def _composite_pairroute_bwd(
-    img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
+    K, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
     """Route per-slot kernel gradients to per-gaussian rows with gathers
     and an MXU segment sum (no duplicate-accumulating scatter):
 
-      slot (t, k) --gather by slot_of_dm--> depth-major pair j
-      --sorted-key segment sum (ops/segsum)--> per-depth-rank sums
-      --permutation gather by inv_rank--> per-gaussian rows
+      slot (t, k) --gather by slot_of_om--> gaussian-major pair j
+      --sorted-key segment sum (ops/segsum)--> per-live-gaussian sums
+      --row gather by seg_of_gauss--> per-gaussian rows
 
-    Depth-major pairs are contiguous per rank with sorted rank keys, so the
-    segment reduction is block-wise one-hot matmuls with a carried boundary
-    partial. Measured on v5e at 2.5M pairs: ~45 ms vs 157 ms for the
-    9-column scatter-add transpose (tests/test_pair_route checks grads).
+    Gaussian-major pair order has sorted owner keys by construction (the
+    valid-compaction index vid rides the pair expansion), so the segment
+    reduction is block-wise one-hot matmuls with a carried boundary
+    partial, and — unlike the earlier depth-major design — no extra
+    inverse-permutation sort is needed to index the result: invalid
+    gaussians point at a masked (zeroed) row. Measured on v5e at 2.5M
+    pairs: ~45 ms vs 157 ms for the 9-column scatter-add transpose
+    (tests/test_pair_route checks grads against the XLA path).
     """
     from simplegaussiansplat_tk71_tpu.ops.segsum import (
         segment_sum_sorted_masked,
     )
 
-    attrs, seg_len, slot_of_dm, rank_of_dm, inv_rank, n_live = res
-    N = inv_rank.shape[0]
+    attrs, seg_len_c, slot_of_om, key_of_om, seg_of_gauss, n_live = res
+    N = seg_of_gauss.shape[0]
     slot_grads = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
-        seg_len,
+        seg_len_c,
     )  # (T, 16, K)
-    T, _, K = slot_grads.shape
+    T, _, Kk = slot_grads.shape
 
-    flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * K, 9)
+    flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * Kk, 9)
     flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
-    pair_grad = flat_pad[slot_of_dm]  # (P, 9); sentinel T*K -> zero row
-    sums = segment_sum_sorted_masked(pair_grad, rank_of_dm, N, n_live)
-    g_packed = sums[inv_rank]  # (N, 9) permutation gather
-    return (g_packed, None, None, None, None, None, None)
+    pair_grad = flat_pad[slot_of_om]  # (P, 9); sentinel T*K -> zero row
+    sums = segment_sum_sorted_masked(pair_grad, key_of_om, N, n_live)
+    g_packed = sums[seg_of_gauss]  # (N, 9); invalid rows hit a masked row
+    return (g_packed, None, None, None, None, None, None, None)
 
 
 _composite_pairroute.defvjp(_composite_pairroute_fwd, _composite_pairroute_bwd)
@@ -602,14 +680,17 @@ def rasterize_tiles_pallas(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     route=None,
+    max_per_tile: int | None = None,
 ):
     """Drop-in Pallas replacement for ops.rasterize.rasterize_tiles.
 
-    Gathers per-tile attributes with one XLA row-gather, runs the fused
-    kernels, and assembles the image. Without ``route``, gradients flow to
-    the per-gaussian attribute arrays through the gather's scatter-add
-    transpose; with ``route`` (a TileBins from ops.binning) the backward uses
-    the pair-space routing of _composite_pairroute_bwd instead.
+    Without ``route``, per-tile attributes come from one XLA row-gather of
+    the (T, K) id table and gradients flow through that gather's
+    scatter-add transpose; with ``route`` (a TileBins from ops.binning,
+    which may omit the id table — pass ``max_per_tile``) attributes are
+    windowed straight out of tile-sorted pair space
+    (pair_attrs_to_table) and the backward uses the pair-space routing of
+    _composite_pairroute_bwd instead.
     """
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -617,19 +698,23 @@ def rasterize_tiles_pallas(
     nty = -(-height // ts)
     T = ntx * nty
     P = ts * ts
-    assert ids.shape[0] == T
 
     packed = jnp.concatenate(
         [mean2d, conic, opacity[:, None], color], axis=1
     )  # (N, 9)
 
     if route is not None:
+        assert route.seg_start.shape[0] == T
+        K = route.ids.shape[1] if route.ids is not None else max_per_tile
+        assert K is not None, "max_per_tile required when route has no table"
         out = _composite_pairroute(
-            packed, ids, mask, route.slot_of_dm, route.rank_of_dm,
-            route.inv_rank, route.n_live,
-            img_wh, ts, pixel_offset, depth_block, t_eps,
+            packed, route.gid_s, route.seg_start, route.seg_len,
+            route.slot_of_om, route.key_of_om, route.seg_of_gauss,
+            route.n_live,
+            K, img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:
+        assert ids.shape[0] == T
         attrs = _slot_attrs(packed, ids, mask)
         seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
         out = _composite_pallas(

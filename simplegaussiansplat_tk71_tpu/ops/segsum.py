@@ -111,7 +111,7 @@ def segment_sum_sorted(
                 (step, 1), lambda s: (s, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((N + block, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block, 128), jnp.float32),  # DMA staging (lane-aligned)

@@ -26,9 +26,10 @@ class RenderConfig(NamedTuple):
     depth_block: int | None = None  # pallas: blocked kernel w/ early-out
     t_eps: float = 1e-4  # pallas blocked kernel early-out threshold
     pair_grad_route: bool = True  # pair-space grad routing (pallas path):
-    # per-gaussian gradient reduction via gather + cumsum + boundary gather
-    # in depth-major pair order instead of a 9-column scatter-add transpose
-    # (binning.TileBins docstring; measured 358 -> 328 ms/step at 1M/800^2)
+    # compositor reads tile-sorted pair space directly (no id-table /
+    # slot-space gathers) and per-gaussian gradient reduction is a gather +
+    # MXU segment sum in gaussian-major pair order instead of a 9-column
+    # scatter-add transpose (ops/binning module docstring)
     snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
 
 
@@ -77,6 +78,7 @@ def render_params(
     )
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
+        routed = config.use_pallas and config.pair_grad_route
         bins = binning.bin_gaussians(
             mean2d,
             bbox_half,
@@ -86,6 +88,9 @@ def render_params(
             tile_size=config.tile_size,
             max_pairs=config.max_pairs,
             max_per_tile=config.max_per_tile,
+            # the routed pallas path reads pair space directly — skip the
+            # (T, K) id-table gather entirely (18 ms at bench scale)
+            build_table=not routed,
         )
         if config.use_pallas:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
@@ -105,6 +110,7 @@ def render_params(
                 depth_block=config.depth_block,
                 t_eps=config.t_eps,
                 route=bins if config.pair_grad_route else None,
+                max_per_tile=config.max_per_tile,
             )
         else:
             image = rasterize.rasterize_tiles(
