@@ -1,0 +1,238 @@
+"""Sub-stage timing of the routed rasterizer at bench scale (v5e).
+
+Chained-rep harness (see NOTES.md: block_until_ready unreliable, host fetch
+~26 ms). Isolates: pair row gather, transpose, window-table kernel, composite
+fwd kernel, composite bwd kernel, slot->pair gather, segsum, final gather.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+R = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.ops import binning, projection
+    from simplegaussiansplat_tk71_tpu.ops import rasterize_pallas as rp
+    from simplegaussiansplat_tk71_tpu.ops.segsum import (
+        segment_sum_sorted_masked,
+    )
+
+    log("devices:", jax.devices())
+    W = H = 800
+    N = 1_000_000
+    f = 600.0
+    Kmax = int(os.environ.get("SGS_BENCH_K", "1024"))
+    max_pairs = int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2500000"))
+    ts = 16
+    ntx, nty = -(-W // ts), -(-H // ts)
+    T = ntx * nty
+    rng = np.random.default_rng(0)
+    z = rng.uniform(4.0, 12.0, N).astype(np.float32)
+    u = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+    v = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+    xyz = np.stack([u * z * W / f, v * z * H / f, z], axis=1).astype(np.float32)
+    model = init_from_points(
+        xyz, rng.uniform(0.004, 0.02, N).astype(np.float32), capacity=None
+    )
+    params = model.trainable()
+    Pm = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    Km = jnp.asarray(
+        np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], np.float32)
+    )
+    proj = jax.jit(
+        lambda p: projection.project(
+            p["mean"], p["quat"], p["log_scale"], p["logit_opacity"], p["sh"],
+            Pm, Km, (W, H), sh_degree=2, bbox_max_frac=0.4, alive=model.alive,
+        )
+    )(params)
+    bins = jax.jit(
+        lambda m2, bb, dp, vl: binning.bin_gaussians(
+            m2, bb, dp, vl, (W, H), tile_size=ts, max_pairs=max_pairs,
+            max_per_tile=Kmax, build_table=False,
+        )
+    )(proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0])
+    packed = jnp.concatenate(
+        [proj.mean2d[0], proj.conic[0], proj.opacity[0][:, None],
+         proj.color[0]], axis=1,
+    )  # (N, 9)
+    Pn = bins.gid_s.shape[0]
+    K = Kmax
+
+    overhead = [0.0]
+
+    def bench(name, body, args):
+        @jax.jit
+        def run(c0, *a):
+            def fb(_, c):
+                return body(c, *a)
+
+            return jax.lax.fori_loop(0, R, fb, c0)
+
+        float(run(jnp.int32(0), *args))
+        t0 = time.time()
+        float(run(jnp.int32(1), *args))
+        ms = ((time.time() - t0) * 1e3 - overhead[0]) / R
+        print(json.dumps({"stage": name, "ms": round(ms, 2)}), flush=True)
+
+    @jax.jit
+    def noop(c0, x):
+        def fb(_, c):
+            return c + x[0, 0].astype(jnp.int32) % 2
+
+        return jax.lax.fori_loop(0, R, fb, c0)
+
+    float(noop(jnp.int32(0), packed))
+    t0 = time.time()
+    float(noop(jnp.int32(1), packed))
+    overhead[0] = (time.time() - t0) * 1e3
+    log(f"fetch overhead: {overhead[0]:.1f} ms")
+
+    def tap(x):
+        # data-dependent checksum over strided elements (defeats DCE without
+        # reducing the whole array)
+        return x.reshape(-1)[::8191].sum().astype(jnp.int32) % 5
+
+    # 1. pair row gather
+    bench(
+        "pair_gather",
+        lambda c, pk, gs: tap(pk[jnp.minimum(gs + c % 2, N - 1)]) + c,
+        (packed, bins.gid_s),
+    )
+    ap = jax.jit(lambda pk, gs: pk[gs])(packed, bins.gid_s)  # (P, 9)
+
+    # 2. transpose + pad
+    Pa = -(-Pn // 128) * 128 + rp._window_lanes(K)
+
+    def tr(c, ap):
+        x = jnp.swapaxes(ap + (c % 2).astype(jnp.float32), 0, 1)
+        x = jnp.pad(x, ((0, rp.NUM_ATTR_ROWS - 9), (0, Pa - Pn)))
+        return tap(x) + c
+
+    bench("transpose_pad", tr, (ap,))
+    apT = jax.jit(
+        lambda ap: jnp.pad(
+            jnp.swapaxes(ap, 0, 1),
+            ((0, rp.NUM_ATTR_ROWS - 9), (0, Pa - Pn)),
+        )
+    )(ap)
+
+    # 3. window-table kernel
+    def wt(c, apT, ss, sl):
+        out = rp.pair_attrs_to_table(
+            apT + (c % 2).astype(jnp.float32), ss, sl, K
+        )
+        return tap(out) + c
+
+    bench("window_table", wt, (apT, bins.seg_start, bins.seg_len))
+    attrs = jax.jit(
+        lambda apT, ss, sl: rp.pair_attrs_to_table(apT, ss, sl, K)
+    )(apT, bins.seg_start, bins.seg_len)
+    seg_len_c = jnp.minimum(bins.seg_len, K)
+
+    # 4. composite fwd kernel only
+    def cf(c, attrs, sl):
+        out = rp.composite_tiles_pallas(
+            attrs + (c % 2).astype(jnp.float32), (W, H), ts, 0.5, None, 1e-4,
+            sl,
+        )
+        return tap(out) + c
+
+    bench("composite_fwd", cf, (attrs, seg_len_c))
+    g_tiles = jax.jit(
+        lambda attrs, sl: rp.composite_tiles_pallas(
+            attrs, (W, H), ts, 0.5, None, 1e-4, sl
+        )
+        * 0.5
+    )(attrs, seg_len_c)
+
+    # 4b. composite fwd v2 (seg_len-bounded, early-out)
+    for D in (128, 256):
+        bench(
+            f"composite_fwd_v2_D{D}",
+            lambda c, attrs, sl, D=D: tap(
+                rp.composite_tiles_pallas(
+                    attrs + (c % 2).astype(jnp.float32), (W, H), ts, 0.5, D,
+                    1e-4, sl,
+                )
+            )
+            + c,
+            (attrs, seg_len_c),
+        )
+
+    # 5. composite bwd kernel only
+    def cb(c, attrs, gt, sl):
+        out = rp.composite_tiles_pallas_bwd(
+            attrs + (c % 2).astype(jnp.float32), gt, (W, H), ts, 0.5, None,
+            1e-4, sl,
+        )
+        return tap(out) + c
+
+    bench("composite_bwd", cb, (attrs, g_tiles, seg_len_c))
+    for D in (128, 256):
+        bench(
+            f"composite_bwd_v2_D{D}",
+            lambda c, attrs, gt, sl, D=D: tap(
+                rp.composite_tiles_pallas_bwd(
+                    attrs + (c % 2).astype(jnp.float32), gt, (W, H), ts, 0.5,
+                    D, 1e-4, sl,
+                )
+            )
+            + c,
+            (attrs, g_tiles, seg_len_c),
+        )
+
+    slot_grads = jax.jit(
+        lambda attrs, gt, sl: rp.composite_tiles_pallas_bwd(
+            attrs, gt, (W, H), ts, 0.5, None, 1e-4, sl
+        )
+    )(attrs, g_tiles, seg_len_c)
+
+    # 6. flatten + slot->pair gather
+    def fg(c, sg, so):
+        flat = jnp.swapaxes(sg[:, :9, :], 1, 2).reshape(T * K, 9)
+        flat = flat + (c % 2).astype(jnp.float32)
+        flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
+        return tap(flat_pad[so]) + c
+
+    bench("slot_to_pair_gather", fg, (slot_grads, bins.slot_of_om))
+    flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * K, 9)
+    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
+    pair_grad = jax.jit(lambda fp, so: fp[so])(flat_pad, bins.slot_of_om)
+
+    # 7. segsum
+    def sgs(c, pg, ko, nl):
+        s = segment_sum_sorted_masked(
+            pg + (c % 2).astype(jnp.float32), ko, N, nl
+        )
+        return tap(s) + c
+
+    bench("segsum", sgs, (pair_grad, bins.key_of_om, bins.n_live))
+    sums = jax.jit(
+        lambda pg, ko, nl: segment_sum_sorted_masked(pg, ko, N, nl)
+    )(pair_grad, bins.key_of_om, bins.n_live)
+
+    # 8. final per-gaussian gather
+    bench(
+        "seg_of_gauss_gather",
+        lambda c, s, sg: tap(s[jnp.minimum(sg + c % 2, N - 1)]) + c,
+        (sums, bins.seg_of_gauss),
+    )
+
+
+if __name__ == "__main__":
+    main()

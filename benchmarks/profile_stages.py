@@ -1,8 +1,8 @@
 """Stage-level timing of the 1M-gaussian 800x800 train step (bench.py scene).
 
-Times each pipeline stage in isolation (own jit, block_until_ready) plus the
-full step, so optimization effort goes where the milliseconds are. Prints one
-JSON line per stage to stdout.
+Chained-rep harness: R reps inside one jit with a data-dependent carry and a
+single host fetch (the axon tunnel's block_until_ready does not reliably
+sync; a fetch costs ~26 ms — see NOTES.md). Prints one JSON line per stage.
 """
 
 import json
@@ -14,23 +14,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+R = 10
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def timeit(name, fn, *args, n=10):
-    out = fn(*args)
-    import jax
-
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n
-    print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2)}), flush=True)
-    return out
 
 
 def main():
@@ -74,60 +62,127 @@ def main():
     params = model.trainable()
     alive = model.alive
 
+    overhead = [0.0]
+
+    def bench(name, body, args):
+        """body(c, *args) -> int32 scalar (data-dependent on its work)."""
+
+        @jax.jit
+        def run(c0, *a):
+            def f(_, c):
+                return body(c, *a)
+
+            return jax.lax.fori_loop(0, R, f, c0)
+
+        float(run(jnp.int32(0), *args))
+        t0 = time.time()
+        float(run(jnp.int32(1), *args))
+        ms = ((time.time() - t0) * 1e3 - overhead[0]) / R
+        print(json.dumps({"stage": name, "ms": round(ms, 2)}), flush=True)
+
+    @jax.jit
+    def noop(c0, x):
+        def f(_, c):
+            return c + x[0, 0].astype(jnp.int32) % 2
+
+        return jax.lax.fori_loop(0, R, f, c0)
+
+    float(noop(jnp.int32(0), target[0, :, :, 0]))
+    t0 = time.time()
+    float(noop(jnp.int32(1), target[0, :, :, 0]))
+    overhead[0] = (time.time() - t0) * 1e3
+    log(f"fetch overhead: {overhead[0]:.1f} ms")
+
     # --- projection ---
-    def proj_fn(p):
+    def proj_fn(p, c):
         return projection.project(
-            p["mean"], p["quat"], p["log_scale"], p["logit_opacity"],
+            p["mean"] + (c % 2).astype(jnp.float32),
+            p["quat"], p["log_scale"], p["logit_opacity"],
             p["sh"], P, K, (W, H), sh_degree=2, bbox_max_frac=0.4, alive=alive,
         )
 
-    proj = timeit("projection_fwd", jax.jit(proj_fn), params)
-
-    # --- binning ---
-    def bins_fn(mean2d, bbox_half, depth, valid):
-        return binning.bin_gaussians(
-            mean2d, bbox_half, depth, valid, (W, H),
-            tile_size=16, max_pairs=max_pairs, max_per_tile=Kmax,
-        )
-
-    bins = timeit(
-        "binning", jax.jit(bins_fn),
+    bench(
+        "projection_fwd",
+        lambda c, p: proj_fn(p, c).depth[0, 123].astype(jnp.int32) + c,
+        (params,),
+    )
+    proj = jax.jit(lambda p: proj_fn(p, jnp.int32(0)))(params)
+    m2, bb, dp, vl = (
         proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0],
     )
+
+    # --- binning (routed, no table) ---
+    def bins_fn(m2, bb, dp, vl, c):
+        b = binning.bin_gaussians(
+            m2 + (c % 2).astype(jnp.float32), bb, dp, vl, (W, H),
+            tile_size=16, max_pairs=max_pairs, max_per_tile=Kmax,
+            build_table=False,
+        )
+        return b
+
+    bench(
+        "binning_routed",
+        lambda c, *a: bins_fn(*a, c).gid_s[12345] % 7 + c,
+        (m2, bb, dp, vl),
+    )
+    bench(
+        "binning_with_table",
+        lambda c, *a: binning.bin_gaussians(
+            a[0] + (c % 2).astype(jnp.float32), a[1], a[2], a[3], (W, H),
+            tile_size=16, max_pairs=max_pairs, max_per_tile=Kmax,
+            build_table=True,
+        ).ids[123, 17] % 7 + c,
+        (m2, bb, dp, vl),
+    )
+    bins = jax.jit(
+        lambda *a: bins_fn(*a, jnp.int32(0))
+    )(m2, bb, dp, vl)
     log("pairs:", int(bins.num_pairs), "dropped:", int(bins.dropped_pairs),
         "truncated:", int(bins.truncated))
 
-    # --- rasterize fwd (includes attr gather) ---
-    def raster_fn(mean2d, conic, color, opacity):
-        return rasterize_tiles_pallas(
-            bins.ids, bins.mask, mean2d, conic, color, opacity, (W, H),
-            tile_size=16, pixel_offset=0.5,
+    # --- rasterize fwd (routed: pair gather + window kernel + composite) ---
+    def raster_fwd(c, m2, conic, color, op):
+        img = rasterize_tiles_pallas(
+            None, None, m2 + (c % 2).astype(jnp.float32), conic, color, op,
+            (W, H), tile_size=16, pixel_offset=0.5, route=bins,
+            max_per_tile=Kmax,
         )
+        return img[123, 456, 1].astype(jnp.int32) + c
 
-    img = timeit(
-        "raster_fwd_total", jax.jit(raster_fn),
-        proj.mean2d[0], proj.conic[0], proj.color[0], proj.opacity[0],
+    bench(
+        "raster_fwd_routed", raster_fwd,
+        (m2, proj.conic[0], proj.color[0], proj.opacity[0]),
     )
 
-    # --- rasterize fwd+bwd ---
-    def raster_grad(mean2d, conic, color, opacity):
-        def lf(m, c, col, op):
-            return jnp.sum(raster_fn(m, c, col, op) ** 2)
+    # --- rasterize fwd+bwd (routed) ---
+    def raster_fwdbwd(c, m2, conic, color, op):
+        def lf(m, cc, col, o):
+            img = rasterize_tiles_pallas(
+                None, None, m, cc, col, o, (W, H), tile_size=16,
+                pixel_offset=0.5, route=bins, max_per_tile=Kmax,
+            )
+            return jnp.sum(img * target[0])
 
-        return jax.grad(lf, argnums=(0, 1, 2, 3))(mean2d, conic, color, opacity)
+        g = jax.grad(lf, argnums=(0, 1, 2, 3))(
+            m2 + (c % 2).astype(jnp.float32), conic, color, op
+        )
+        return g[0][12345, 0].astype(jnp.int32) + c
 
-    timeit(
-        "raster_fwdbwd_total", jax.jit(raster_grad),
-        proj.mean2d[0], proj.conic[0], proj.color[0], proj.opacity[0],
+    bench(
+        "raster_fwdbwd_routed", raster_fwdbwd,
+        (m2, proj.conic[0], proj.color[0], proj.opacity[0]),
     )
 
-    # --- loss (L1 + SSIM) fwd+bwd ---
-    def loss_grad(im):
-        return jax.grad(lambda x: photometric_loss(x, target)[0])(im)
+    # --- loss fwd+bwd ---
+    def loss_grad(c, im):
+        g = jax.grad(lambda x: photometric_loss(x, target)[0])(
+            im + (c % 2).astype(jnp.float32)
+        )
+        return g[0, 123, 456, 1].astype(jnp.int32) + c
 
-    timeit("loss_fwdbwd", jax.jit(loss_grad), target * 0.5)
+    bench("loss_fwdbwd", loss_grad, (target * 0.5,))
 
-    # --- full train step ---
+    # --- full train step (chained through params) ---
     cfg = TrainConfig()
     rcfg = RenderConfig(
         tile_size=16, max_per_tile=Kmax, max_pairs=max_pairs,
@@ -138,10 +193,15 @@ def main():
     opt_state = opt.init(params)
     stats = DensifyStats.zeros(model.capacity)
 
-    def full(p, o, s):
-        return step(p, alive, o, s, P, K, target)
-
-    timeit("full_step", full, params, opt_state, stats, n=10)
+    out = step(params, alive, opt_state, stats, P, K, target)
+    float(out[3]["loss"])  # compile + sync
+    p, o, s, m = out
+    t0 = time.time()
+    for _ in range(R):
+        p, o, s, m = step(p, alive, o, s, P, K, target)
+    float(m["loss"])
+    ms = ((time.time() - t0) * 1e3) / R
+    print(json.dumps({"stage": "full_step", "ms": round(ms, 2)}), flush=True)
 
 
 if __name__ == "__main__":
