@@ -50,7 +50,7 @@ def main():
         xyz, rng.uniform(0.004, 0.02, N).astype(np.float32), capacity=None
     )
     sh = np.array(model.sh)
-    sh[:N, 0] = rng.uniform(0.5, 3.0, size=(N, 3))
+    sh[:N, 0:3] = rng.uniform(0.5, 3.0, size=(N, 3))
     model = model._replace(sh=jnp.asarray(sh))
     P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
     K = jnp.asarray(np.array([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]], np.float32))
@@ -62,8 +62,9 @@ def main():
     rcfg = RenderConfig(
         tile_size=16,
         max_per_tile=int(os.environ.get("SGS_BENCH_K", "1024")),
-        # ~1.3x the scene's actual pair count; overflow is counted, not silent
-        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2500000")),
+        # ~1.12x the scene's actual pair count (1.96M); every pair-sized op
+        # scales with this capacity, and overflow is counted, never silent
+        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2200000")),
         tile_chunk=125,
         use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",
     )

@@ -28,9 +28,8 @@ def main():
     from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
     from simplegaussiansplat_tk71_tpu.ops import binning, projection
     from simplegaussiansplat_tk71_tpu.ops import rasterize_pallas as rp
-    from simplegaussiansplat_tk71_tpu.ops.segsum import (
-        segment_sum_sorted_masked,
-    )
+    from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
+    from simplegaussiansplat_tk71_tpu.ops.segsum import segment_sum_sorted
 
     log("devices:", jax.devices())
     W = H = 800
@@ -202,35 +201,40 @@ def main():
         )
     )(attrs, g_tiles, seg_len_c)
 
-    # 6. flatten + slot->pair gather
+    # 6. flatten (free reshape, row-major slots) + slot->pair gather
     def fg(c, sg, so):
-        flat = jnp.swapaxes(sg[:, :9, :], 1, 2).reshape(T * K, 9)
-        flat = flat + (c % 2).astype(jnp.float32)
-        flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
+        flat = sg.reshape(T * K, 16) + (c % 2).astype(jnp.float32)
+        flat_pad = jnp.concatenate([flat, jnp.zeros((1, 16), flat.dtype)])
         return tap(flat_pad[so]) + c
 
     bench("slot_to_pair_gather", fg, (slot_grads, bins.slot_of_om))
-    flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * K, 9)
-    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
+    flat = slot_grads.reshape(T * K, 16)
+    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 16), flat.dtype)])
     pair_grad = jax.jit(lambda fp, so: fp[so])(flat_pad, bins.slot_of_om)
 
     # 7. segsum
-    def sgs(c, pg, ko, nl):
-        s = segment_sum_sorted_masked(
-            pg + (c % 2).astype(jnp.float32), ko, N, nl
-        )
-        return tap(s) + c
+    def sgs(c, pg, ko):
+        s = segment_sum_sorted(pg + (c % 2).astype(jnp.float32), ko, N, raw=True)
+        return tap(s[:N, :9]) + c
 
-    bench("segsum", sgs, (pair_grad, bins.key_of_om, bins.n_live))
-    sums = jax.jit(
-        lambda pg, ko, nl: segment_sum_sorted_masked(pg, ko, N, nl)
-    )(pair_grad, bins.key_of_om, bins.n_live)
+    bench("segsum", sgs, (pair_grad, bins.key_of_om))
+    sums_raw = jax.jit(
+        lambda pg, ko: segment_sum_sorted(pg, ko, N, raw=True)
+    )(pair_grad, bins.key_of_om)
 
-    # 8. final per-gaussian gather
+    # 8. final per-gaussian expansion (ops/expand)
+    EB = 512
+    nbl = -(-N // EB)
+    base = jnp.asarray(
+        np.pad(np.asarray(bins.vid), (0, nbl * EB - N), mode="edge")[::EB]
+    )
     bench(
-        "seg_of_gauss_gather",
-        lambda c, s, sg: tap(s[jnp.minimum(sg + c % 2, N - 1)]) + c,
-        (sums, bins.seg_of_gauss),
+        "seg_to_gauss_expand",
+        lambda c, s, k, b: tap(
+            expand_rows(s + (c % 2).astype(jnp.float32), k, b, EB, out_cols=9)
+        )
+        + c,
+        (sums_raw, bins.key_of_gauss, base),
     )
 
 

@@ -112,7 +112,7 @@ def densify_and_prune(
         quat = np.concatenate([quat[keep], np.tile(quat[sel], (split_n, 1))])
         log_scale = np.concatenate([log_scale[keep], child_scale])
         logit_op = np.concatenate([logit_op[keep], np.tile(logit_op[sel], (split_n, 1))])
-        sh = np.concatenate([sh[keep], np.tile(sh[sel], (split_n, 1, 1))])
+        sh = np.concatenate([sh[keep], np.tile(sh[sel], (split_n, 1))])
         g_norm = np.concatenate([g_norm[keep], np.tile(g_norm[sel], split_n)])
         g_iter = np.concatenate([g_iter[keep], np.tile(g_iter[sel], split_n)])
 

@@ -39,7 +39,7 @@ class GaussianModel(NamedTuple):
 
     @property
     def sh_degree(self) -> int:
-        return int(round(np.sqrt(self.sh.shape[1]))) - 1
+        return int(round(np.sqrt(self.sh.shape[1] // 3))) - 1
 
     def num_alive(self):
         return jnp.sum(self.alive)
@@ -97,8 +97,10 @@ def init_from_points(
     logit_op = np.full(
         (cap, 1), float(np.log(opacity_init / (1.0 - opacity_init))), np.float32
     )
-    sh = np.zeros((cap, nb, 3), np.float32)
-    sh[:, 0, :] = c00
+    # packed 2-D SH (basis-major, channel-minor): a (cap, nb, 3) device
+    # tensor pads its minor dims to the TPU (8, 128) tile at 42-76x memory
+    sh = np.zeros((cap, nb * 3), np.float32)
+    sh[:, 0:3] = c00
     alive = np.zeros((cap,), bool)
     alive[:n] = True
 

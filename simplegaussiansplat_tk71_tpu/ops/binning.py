@@ -60,7 +60,8 @@ class TileBins(NamedTuple):
     # --- gradient routing (gaussian-major pair order) ---
     slot_of_om: jnp.ndarray  # (P,) int32 dense slot t*K+k of gaussian-major pair j, sentinel T*K
     key_of_om: jnp.ndarray  # (P,) int32 sorted segment key (owner's valid-compaction index)
-    seg_of_gauss: jnp.ndarray  # (N,) int32 segment row of gaussian i (invalid -> masked row)
+    vid: jnp.ndarray  # (N,) int32 valid-compaction rank (nondecreasing, steps <= 1)
+    key_of_gauss: jnp.ndarray  # (N,) int32 segment of gaussian i, -1 if no surviving pairs
     n_live: jnp.ndarray  # () int32 segments with >=1 surviving pair (a prefix)
 
 
@@ -161,10 +162,9 @@ def bin_gaussians(
     _, slot_of_om = jax.lax.sort((om_idx, slot_q), num_keys=1)
     # segments with surviving pairs form a prefix of [0, n_valid): capacity
     # drops cut the gaussian-major tail (offsets nondecreasing)
-    n_live = jnp.sum(
-        (valid & (offsets < jnp.minimum(total, P))).astype(jnp.int32)
-    )
-    seg_of_gauss = jnp.where(valid, vid, N - 1).astype(jnp.int32)
+    surviving = valid & (offsets < jnp.minimum(total, P))
+    n_live = jnp.sum(surviving.astype(jnp.int32))
+    key_of_gauss = jnp.where(surviving, vid, -1).astype(jnp.int32)
 
     dropped = jnp.maximum(total - P, 0).astype(jnp.int32)
     truncated = jnp.sum(jnp.maximum(seg_len - K, 0)).astype(jnp.int32)
@@ -187,6 +187,7 @@ def bin_gaussians(
         seg_len=seg_len,
         slot_of_om=slot_of_om,
         key_of_om=key_of_om,
-        seg_of_gauss=seg_of_gauss,
+        vid=vid,
+        key_of_gauss=key_of_gauss,
         n_live=n_live,
     )

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from simplegaussiansplat_tk71_tpu.ops import transforms
-from simplegaussiansplat_tk71_tpu.ops.sh import eval_sh
+from simplegaussiansplat_tk71_tpu.ops.sh import eval_sh_packed
 
 
 class ProjectedGaussians(NamedTuple):
@@ -60,7 +60,9 @@ def project(
       quat: (N, 4) xyzw rotations.
       log_scale: (N, 3) log scales.
       logit_opacity: (N, 1) or (N,) logit opacities.
-      sh: (N, B, 3) SH coefficients, B = (sh_degree+1)^2.
+      sh: (N, B * 3) packed SH coefficients (basis-major, channel-minor),
+        B = (sh_degree+1)^2; a 3-D (N, B, 3) tensor is accepted and
+        flattened (but prefer 2-D — see eval_sh_packed on TPU tile padding).
       P: (M, 3, 4) world->camera extrinsics.
       K: (M, 3, 3) intrinsics.
       img_wh: (width, height) static python ints.
@@ -168,8 +170,11 @@ def project(
     # clamped norm has a NaN vjp there).
     norm_sq = jnp.sum(jnp.square(mean_cam), axis=-1, keepdims=True)
     view_dir = -mean_cam * jax.lax.rsqrt(norm_sq + 1e-12)
-    sh_mc = jnp.swapaxes(sh, -1, -2)[None]  # (1, N, 3, B); broadcasts over M
-    color = eval_sh(sh_degree, sh_mc, view_dir)  # (M, N, 3)
+    if sh.ndim == 3:
+        # compat: callers should pass the packed 2-D layout — a materialized
+        # (N, B, 3) tensor pads to the (8, 128) tile at 42-76x memory
+        sh = sh.reshape(sh.shape[0], -1)
+    color = eval_sh_packed(sh_degree, sh[None], view_dir)  # (M, N, 3)
 
     # --- opacity ---
     opacity = jnp.broadcast_to(

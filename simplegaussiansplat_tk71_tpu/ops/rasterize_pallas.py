@@ -14,7 +14,9 @@ block is (1, A, K) / (1, 8, P) with aligned trailing dims):
          (opacity pre-masked to 0 for invalid slots — op > 0 is the validity
          test in-kernel; sigmoid can never be exactly 0 for a live gaussian)
   out:   (T, 8, P)     rows 0..2 = composited RGB for the tile's P pixels
-  grads: (T, 16, K)    rows 0..8 = d mux, d muy, d a, d b, d c, d op, d rgb
+  grads: (T, K, 16)    lanes 0..8 = d mux, d muy, d a, d b, d c, d op, d rgb
+         (row-major slots: the per-slot lane reductions are naturally (K,)
+         sublane columns, and the (T*K, 16) flatten downstream is free)
 
 The depth-axis exclusive cumprod / suffix cumsum are Hillis-Steele scans over
 the K (sublane) axis — log2(K) shift+combine steps on (K, P) VMEM tiles,
@@ -140,24 +142,30 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref,
         ca = attrs[2, :][:, None]
         cb = attrs[3, :][:, None]
         cc = attrs[4, :][:, None]
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
-        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
+        # per-slot grads assemble as (K, 9) rows — the lane reductions below
+        # produce (K,) sublane columns, so the row-major slot layout needs no
+        # in-register relayout, and the flatten to (T*K, 16) downstream is a
+        # free reshape (the old (9, K) layout forced a strided transpose
+        # inside the slot->pair gather, measured ~+15 ms at bench scale)
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1, keepdims=True)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1, keepdims=True)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1, keepdims=True)
+        g_cb = jnp.sum(-m * dx * dy, axis=1, keepdims=True)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1, keepdims=True)
+        g_op = jnp.sum(g * u, axis=1, keepdims=True)
+        # dL/dcol_c = sum_p gI_c * T * alpha : (K, 3)
         g_col = jax.lax.dot_general(
-            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
+            t_excl * alpha, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
+        grads = jnp.concatenate(
+            [g_mux, g_muy, g_ca, g_cb, g_cc, g_op, g_col], axis=1
+        )  # (K, 9)
         # zero grads of masked slots — ids point at clamped garbage rows
-        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
+        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[:, None]  # (K, 1)
         grads = grads * valid_k
-        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+        grad_ref[t, :, :] = jnp.pad(grads, ((0, 0), (0, NUM_ATTR_ROWS - 9)))
 
 
 def _forward_kernel_v2(
@@ -264,7 +272,7 @@ def _backward_kernel_v2(
     )
 
     # zero-init output (unused blocks keep zero grads)
-    grad_ref[0, :, :] = jnp.zeros((NUM_ATTR_ROWS, Kk), jnp.float32)
+    grad_ref[0, :, :] = jnp.zeros((Kk, NUM_ATTR_ROWS), jnp.float32)
 
     # phase 2: reverse over used blocks with suffix carry
     def bbody(i, carry):
@@ -289,25 +297,24 @@ def _backward_kernel_v2(
         valid = op > 0.0
         u = jnp.where(valid, u, 0.0)
         m = op * u * g
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1, keepdims=True)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1, keepdims=True)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1, keepdims=True)
+        g_cb = jnp.sum(-m * dx * dy, axis=1, keepdims=True)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1, keepdims=True)
+        g_op = jnp.sum(g * u, axis=1, keepdims=True)
         g_col = jax.lax.dot_general(
-            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
+            t_excl * alpha, gimg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (3, D)
+        )  # (D, 3)
         grads = jnp.concatenate(
-            [jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0), g_col],
-            axis=0,
-        )  # (9, D)
-        valid_k = valid.astype(jnp.float32)[:, 0][None, :]
+            [g_mux, g_muy, g_ca, g_cb, g_cc, g_op, g_col], axis=1
+        )  # (D, 9)
+        valid_k = valid.astype(jnp.float32)[:, 0][:, None]
         grads = grads * valid_k
         start = pl.multiple_of(kb * D, D)
-        grad_ref[0, 0:9, pl.ds(start, D)] = grads
+        grad_ref[0, pl.ds(start, D), 0:9] = grads
         return s_carry + total
 
     jax.lax.fori_loop(0, used, bbody, jnp.zeros((1, P), jnp.float32))
@@ -394,11 +401,14 @@ def composite_tiles_pallas_bwd(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
-    tile_block: int = 4,
+    tile_block: int = 1,
     tile_ids=None,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
-    Returns (T, 16, K) packed per-slot gradients."""
+    Returns (T, K, 16) packed per-slot gradients (row-major slots: rows are
+    depth slots, lanes the 9 used gradient channels). tile_block defaults to
+    1 here: the (K, 16) output block pads to 128 lanes in VMEM, and larger
+    blocks push the kernel's scoped-VMEM stack past the 16 MB limit."""
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -425,10 +435,10 @@ def composite_tiles_pallas_bwd(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0),
+                (1, K, NUM_ATTR_ROWS), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, K, NUM_ATTR_ROWS), jnp.float32),
             scratch_shapes=[pltpu.VMEM((K // depth_block, P), jnp.float32)],
         )(seg_len, _tile_ids_or_arange(tile_ids, T, T), attrs, g_tiles)
     TB = tile_block
@@ -446,9 +456,9 @@ def composite_tiles_pallas_bwd(
             pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TB, K, NUM_ATTR_ROWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, K, NUM_ATTR_ROWS), jnp.float32),
     )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
 
@@ -475,11 +485,12 @@ def _composite_pallas_bwd(
     img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
     attrs, seg_len, tile_ids = res
-    g_attrs = composite_tiles_pallas_bwd(
+    g_slots = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len, tile_ids=tile_ids,
-    )
-    return (g_attrs, None, None)  # same (T, 16, K) layout as attrs
+    )  # (T, K, 16) row-major slots
+    g_attrs = jnp.swapaxes(g_slots, 1, 2)  # back to the (T, 16, K) attr layout
+    return (g_attrs, None, None)
 
 
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
@@ -600,8 +611,8 @@ def _pair_table(packed, gid_s, seg_start, seg_len, K):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _composite_pairroute(
-    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, seg_of_gauss,
-    n_live, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, vid,
+    key_of_gauss, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
@@ -611,8 +622,8 @@ def _composite_pairroute(
 
 
 def _composite_pairroute_fwd(
-    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, seg_of_gauss,
-    n_live, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, vid,
+    key_of_gauss, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
@@ -621,46 +632,55 @@ def _composite_pairroute_fwd(
     )
     # save the windowed attrs (the kernel input) rather than regathering in
     # backward — 160 MB HBM at bench scale buys back the pair gather
-    res = (attrs, seg_len_c, slot_of_om, key_of_om, seg_of_gauss, n_live)
+    res = (attrs, seg_len_c, slot_of_om, key_of_om, vid, key_of_gauss)
     return out, res
+
+
+_EXPAND_BLOCK = 256  # one-hot matmul flops scale with the block size
 
 
 def _composite_pairroute_bwd(
     K, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
-    """Route per-slot kernel gradients to per-gaussian rows with gathers
-    and an MXU segment sum (no duplicate-accumulating scatter):
+    """Route per-slot kernel gradients to per-gaussian rows with one gather
+    and two MXU kernels (no duplicate-accumulating scatter):
 
       slot (t, k) --gather by slot_of_om--> gaussian-major pair j
-      --sorted-key segment sum (ops/segsum)--> per-live-gaussian sums
-      --row gather by seg_of_gauss--> per-gaussian rows
+      --sorted-key segment sum (ops/segsum)--> per-live-segment sums
+      --sorted-key expansion (ops/expand)--> per-gaussian rows
 
     Gaussian-major pair order has sorted owner keys by construction (the
     valid-compaction index vid rides the pair expansion), so the segment
     reduction is block-wise one-hot matmuls with a carried boundary
-    partial, and — unlike the earlier depth-major design — no extra
-    inverse-permutation sort is needed to index the result: invalid
-    gaussians point at a masked (zeroed) row. Measured on v5e at 2.5M
-    pairs: ~45 ms vs 157 ms for the 9-column scatter-add transpose
+    partial, and the spread back to per-gaussian rows is the transposed
+    one-hot expansion reading the segment-sum buffer through row-window
+    DMAs (keys vid are nondecreasing with steps <= 1; gaussians with no
+    surviving pairs carry key -1 and get exact zero rows). The expansion
+    replaced a 37 ms XLA row gather with ~4 ms of MXU work at 1M gaussians
     (tests/test_pair_route checks grads against the XLA path).
     """
-    from simplegaussiansplat_tk71_tpu.ops.segsum import (
-        segment_sum_sorted_masked,
-    )
+    from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
+    from simplegaussiansplat_tk71_tpu.ops.segsum import segment_sum_sorted
 
-    attrs, seg_len_c, slot_of_om, key_of_om, seg_of_gauss, n_live = res
-    N = seg_of_gauss.shape[0]
+    attrs, seg_len_c, slot_of_om, key_of_om, vid, key_of_gauss = res
+    N = vid.shape[0]
     slot_grads = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len_c,
-    )  # (T, 16, K)
-    T, _, Kk = slot_grads.shape
+    )  # (T, K, 16) row-major slots
+    T, Kk, A = slot_grads.shape
 
-    flat = jnp.swapaxes(slot_grads[:, :9, :], 1, 2).reshape(T * Kk, 9)
-    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 9), flat.dtype)])
-    pair_grad = flat_pad[slot_of_om]  # (P, 9); sentinel T*K -> zero row
-    sums = segment_sum_sorted_masked(pair_grad, key_of_om, N, n_live)
-    g_packed = sums[seg_of_gauss]  # (N, 9); invalid rows hit a masked row
+    flat = slot_grads.reshape(T * Kk, A)  # free reshape, contiguous rows
+    flat_pad = jnp.concatenate([flat, jnp.zeros((1, A), flat.dtype)])
+    pair_grad = flat_pad[slot_of_om]  # (P, 16); sentinel T*K -> zero row
+    sums_raw = segment_sum_sorted(pair_grad, key_of_om, N, raw=True)
+    nb = -(-N // _EXPAND_BLOCK)
+    base = jnp.pad(vid, (0, nb * _EXPAND_BLOCK - N), mode="edge")[
+        ::_EXPAND_BLOCK
+    ]
+    g_packed = expand_rows(
+        sums_raw, key_of_gauss, base, _EXPAND_BLOCK, out_cols=9
+    )
     return (g_packed, None, None, None, None, None, None, None)
 
 
@@ -709,8 +729,8 @@ def rasterize_tiles_pallas(
         assert K is not None, "max_per_tile required when route has no table"
         out = _composite_pairroute(
             packed, route.gid_s, route.seg_start, route.seg_len,
-            route.slot_of_om, route.key_of_om, route.seg_of_gauss,
-            route.n_live,
+            route.slot_of_om, route.key_of_om, route.vid,
+            route.key_of_gauss,
             K, img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:

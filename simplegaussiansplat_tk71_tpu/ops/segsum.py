@@ -1,28 +1,39 @@
 """Sorted-key segment sum as a Pallas TPU kernel.
 
 The gradient-routing backward (ops/rasterize_pallas._composite_pairroute_bwd)
-must reduce per-pair gradient rows to per-depth-rank rows. Depth-major pairs
-are contiguous per rank with *sorted* keys, so the reduction over a block of
-B pairs is a one-hot matmul on the MXU:
+must reduce per-pair gradient rows to per-segment rows. Gaussian-major pairs
+have *sorted* keys (the valid-compaction rank rides the pair expansion,
+ops/binning), so the reduction over a block of B pairs is a one-hot matmul on
+the MXU:
 
     sums_local[r, c] = sum_j [keys[j] - rf == r] * vals[j, c]     (rf = min key)
 
-A block of B pairs spans at most B distinct ranks (every present rank has
->= 1 pair and ranks with pairs are consecutive inside a block), so local
-offsets fit [0, B). Each block DMAs its (B, C) result to rows
-[rf, rf + B) of the output; consecutive blocks' windows overlap only in
-ascending order on the sequential TPU grid, so later (complete) values
-overwrite earlier (partial) ones, and a rank spanning blocks is carried:
-the VMEM carry holds the running partial of the block's last rank and is
-folded into local row 0 of the next block when that rank continues.
+A block of B pairs spans at most B distinct ranks (keys are nondecreasing
+with increments <= 1, so present ranks are consecutive), and each program's
+``inner`` consecutive blocks span at most W = B * inner ranks. Block sums are
+staged into a (W, 128) VMEM window at sublane offset ``rf - rf0``; in-VMEM
+overwrites resolve block-boundary partials the same way the original
+HBM-window design did (later, more complete rows overwrite earlier partials,
+and a rank spanning blocks is carried: the carry holds the running partial of
+the block's last rank and is folded into local row 0 of the next block when
+that rank continues). One DMA per *program* then writes the whole window to
+output rows [rf0, rf0 + W), pipelined one-in-flight: the previous program's
+copy is awaited only before starting the next (consecutive windows overlap at
+the boundary rank, so two copies must never be in flight together), letting
+the copy ride under the next window's matmuls. This replaced a copy per
+*block* (start+wait inline, 10k serial DMA latencies ~= 13 ms at bench scale).
 
-This replaces an XLA cumsum + sorted boundary gather + concat chain
-(measured 45 ms at 2.5M pairs on v5e) with ~10 ms of MXU work.
+Padding keys (value num_segments - 1) merge into the carry chain of the real
+last rank when it is also num_segments - 1, and otherwise produce one-hot
+columns with no match (local offset >= B) plus zero staged rows that only ever
+land on rows past the live prefix; the window clip keeps their store offset in
+bounds (a pad block's rank span inside a mixed program is < W - B by
+construction: i leading real blocks cover at most i*B - 1 ranks).
 
 Restriction: rows of the output in [n_live, N) for ranks with zero pairs in
 the *suffix* are left unwritten (garbage) — callers mask with the live-rank
-prefix count (ranks with pairs always form a prefix: invalid gaussians sort
-to the tail of the depth order, and capacity drops cut the tail).
+prefix count, or route through ops/expand with masked keys (its one-hot drops
+negative keys, so garbage rows are never read).
 """
 
 import functools
@@ -33,9 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _segsum_kernel(B, C, inner, vals_ref, keys_ref, out_ref, stage_ref,
+def _segsum_kernel(B, C, inner, nprog, vals_ref, keys_ref, out_ref, win_ref,
                    carry_ref, last_rank_ref, sem):
     s0 = pl.program_id(0)
+    W = B * inner
+    slot = jax.lax.rem(s0, 2)
 
     @pl.when(s0 == 0)
     def _():
@@ -43,6 +56,7 @@ def _segsum_kernel(B, C, inner, vals_ref, keys_ref, out_ref, stage_ref,
         last_rank_ref[0] = -1
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    rf0 = jnp.min(keys_ref[0:B, 0])
     for i in range(inner):
         keys = keys_ref[i * B:(i + 1) * B, 0]  # (B,) int32, sorted
         vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
@@ -56,26 +70,42 @@ def _segsum_kernel(B, C, inner, vals_ref, keys_ref, out_ref, stage_ref,
             preferred_element_type=jnp.float32,
             # HIGHEST: the TPU default truncates f32 matmul inputs to one
             # bf16 pass, which rounds every gradient row to ~3 decimal
-            # digits (measured 2.7e-2 abs err at unit scale); bf16x3 keeps
-            # the segment sums f32-exact for the 0/1 one-hot operand
+            # digits; bf16x3 keeps the segment sums f32-exact for the 0/1
+            # one-hot operand
             precision=jax.lax.Precision.HIGHEST,
         )  # (B, C) per local rank
         # fold the carried partial of the previous block's last rank into
         # local row 0 when that rank continues into this block
         cont = (last_rank_ref[0] == rf).astype(jnp.float32)
         sums = sums + jnp.where(rows == 0, cont * carry_ref[0, :][None, :], 0.0)
-        # new carry: the (now partially complete) sum of this block's last rank
+        # new carry: the (partially complete) sum of this block's last rank
         carry_ref[0, :] = jnp.sum(
             jnp.where(rows == (rl - rf), sums, 0.0), axis=0
         )
         last_rank_ref[0] = rl
-        # final rows for all ranks that END in this block; rows of the last
-        # rank / zero rows are overwritten by later blocks (ascending windows).
-        # Stage at 128 lanes: Mosaic requires HBM DMA slices lane-aligned to
-        # the (1, 128) tiling (row offsets stay arbitrary).
-        stage_ref[:, :] = jnp.pad(sums, ((0, 0), (0, 128 - C)))
-        copy = pltpu.make_async_copy(stage_ref, out_ref.at[pl.ds(rf, B)], sem)
-        copy.start()
+        # stage at 128 lanes (Mosaic requires HBM DMA slices lane-aligned to
+        # the (1, 128) tiling; sublane offsets stay arbitrary)
+        off = jnp.clip(rf - rf0, 0, W - B)
+        win_ref[pl.ds(slot * W + off, B), :] = jnp.pad(
+            sums, ((0, 0), (0, 128 - C))
+        )
+
+    # one-in-flight pipelined flush: wait the previous program's copy (its
+    # window may overlap this one at the boundary rank) only now, so it ran
+    # under this program's matmuls
+    @pl.when(s0 > 0)
+    def _():
+        pltpu.make_async_copy(
+            win_ref.at[pl.ds((1 - slot) * W, W)], out_ref.at[pl.ds(0, W)], sem
+        ).wait()
+
+    copy = pltpu.make_async_copy(
+        win_ref.at[pl.ds(slot * W, W)], out_ref.at[pl.ds(rf0, W)], sem
+    )
+    copy.start()
+
+    @pl.when(s0 == nprog - 1)
+    def _():
         copy.wait()
 
 
@@ -85,12 +115,15 @@ def segment_sum_sorted(
     num_segments: int,
     block: int = 256,
     inner: int = 8,
+    raw: bool = False,
 ) -> jnp.ndarray:
     """Segment sum of ``vals`` (P, C) by sorted int32 ``keys`` (P,) in
-    [0, num_segments). Returns (num_segments, C).
+    [0, num_segments). Returns (num_segments, C), or the raw padded
+    (num_segments + block * inner, 128) buffer when ``raw`` (rows past the
+    live prefix are garbage — see module docstring).
 
-    Keys must be nondecreasing and the set of keys that occur must be a
-    prefix [0, n_live) of the segment range (tail segments get zeros).
+    Keys must be nondecreasing with increments <= 1 (so the set of keys that
+    occur is a prefix [0, n_live); tail segments get zeros or garbage).
     """
     P, C = vals.shape
     N = num_segments
@@ -99,10 +132,11 @@ def segment_sum_sorted(
     if P_pad != P:
         vals = jnp.pad(vals, ((0, P_pad - P), (0, 0)))
         keys = jnp.pad(keys, (0, P_pad - P), constant_values=N - 1)
-    kernel = functools.partial(_segsum_kernel, block, C, inner)
+    nprog = P_pad // step
+    kernel = functools.partial(_segsum_kernel, block, C, inner, nprog)
     out = pl.pallas_call(
         kernel,
-        grid=(P_pad // step,),
+        grid=(nprog,),
         in_specs=[
             pl.BlockSpec(
                 (step, C), lambda s: (s, 0), memory_space=pltpu.VMEM
@@ -112,14 +146,16 @@ def segment_sum_sorted(
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((N + block, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N + step, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block, 128), jnp.float32),  # DMA staging (lane-aligned)
+            pltpu.VMEM((2 * step, 128), jnp.float32),  # double-buffered window
             pltpu.VMEM((1, C), jnp.float32),  # carry
             pltpu.SMEM((1,), jnp.int32),  # last rank
             pltpu.SemaphoreType.DMA,
         ],
     )(vals, keys[:, None])
+    if raw:
+        return out
     return out[:N, :C]
 
 

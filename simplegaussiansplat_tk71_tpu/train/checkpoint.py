@@ -92,7 +92,8 @@ def load_reference_pt(directory: str, sh_degree: int = 2):
     quat = get("variance_q.pt")
     log_scale = get("variance_scale.pt")
     logit_op = get("opacity.pt")
-    sh = get("color.pt")  # (N, B, 3)
+    sh = get("color.pt")  # (N, B, 3) -> packed 2-D (N, B*3)
+    sh = sh.reshape(sh.shape[0], -1)
     from simplegaussiansplat_tk71_tpu.models.gaussians import round_capacity
 
     n = mean.shape[0]

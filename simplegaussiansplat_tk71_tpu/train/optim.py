@@ -8,8 +8,35 @@ iteration, gs_control.py:197-199 — available as a parity quirk by resetting
 state externally).
 """
 
+import jax
 import jax.numpy as jnp
 import optax
+
+
+def flatten_leaves(inner: optax.GradientTransformation):
+    """Run ``inner`` on 1-D raveled leaves.
+
+    Adam is elementwise, but on TPU the (N, B, 3) SH leaf's update chain
+    materializes temps in a channel-minor layout whose (8, 128) tiling pads
+    3 -> 128 lanes: 42.7x memory, 3 x 4.31 GB observed at the 1M-gaussian
+    bench (HBM OOM). 1-D leaves admit no such layout; the ravel/reshape pair
+    costs one 103 MB relayout copy per step.
+    """
+
+    def _flat(tree):
+        return jax.tree.map(lambda x: x.reshape(-1), tree)
+
+    def init(params):
+        return inner.init(_flat(params))
+
+    def update(grads, state, params=None):
+        updates, state = inner.update(
+            _flat(grads), state, _flat(params) if params is not None else None
+        )
+        updates = jax.tree.map(lambda u, g: u.reshape(g.shape), updates, grads)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
 
 
 def expon_lr_schedule(
@@ -50,7 +77,7 @@ def make_optimizer(config) -> optax.GradientTransformation:
     )
     # torch.optim.Adam defaults (reference gs_model.py:47)
     adam = lambda lr: optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-    return optax.multi_transform(
+    inner = optax.multi_transform(
         {
             "mean": adam(position_schedule),
             "quat": adam(config.rotation_lr),
@@ -66,3 +93,8 @@ def make_optimizer(config) -> optax.GradientTransformation:
             "sh": "sh",
         },
     )
+    # NOTE: flatten_leaves is not applied — with the SH leaf packed 2-D
+    # (models/gaussians), the worst optax temp is (N, 27) -> 4.7x tile
+    # padding (fits), while flattening forces relayout copies of every leaf
+    # each step (measured ~+40 ms at the 1M bench)
+    return inner

@@ -16,6 +16,7 @@ Differences from the reference, by design:
 """
 
 import functools
+import os
 import time
 from typing import Optional
 
@@ -50,7 +51,12 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         mse = jnp.mean(jnp.square(images - target))
         return loss, (l1, dssim, mse, aux)
 
-    @jax.jit
+    # donate params/opt_state/stats: callers thread them through step-to-step
+    # (saves ~0.4 GB HBM at the 1M-gaussian bench scale; the full step peaks
+    # near the 16 GB v5e capacity). SGS_DONATE=0 disables it for layout A/Bs.
+    _donate = (0, 2, 3) if os.environ.get("SGS_DONATE", "1") == "1" else ()
+
+    @functools.partial(jax.jit, donate_argnums=_donate)
     def train_step(params, alive, opt_state, stats, P, K, target):
         (loss, (l1, dssim, mse, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -137,7 +143,9 @@ class Trainer:
             quat=jnp.asarray(data["model.quat"]),
             log_scale=jnp.asarray(data["model.log_scale"]),
             logit_opacity=jnp.asarray(data["model.logit_opacity"]),
-            sh=jnp.asarray(data["model.sh"]),
+            sh=jnp.asarray(data["model.sh"]).reshape(
+                data["model.sh"].shape[0], -1
+            ),
             alive=jnp.asarray(data["model.alive"]),
         )
         cap = self.model.capacity

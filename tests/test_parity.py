@@ -26,7 +26,7 @@ def test_reference_sampling_parity():
     log_scale = (rng.normal(size=(n, 3)) * 0.2 - 1.3).astype(np.float32)
     logit_op = rng.uniform(-1, 1, size=(n, 1)).astype(np.float32)
     sh = np.zeros((n, 9, 3), np.float32)
-    sh[:, 0] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[:, 0] = rng.uniform(0.5, 3.0, size=(n, 3))  # 3-D sh: project() flattens
     f = 40.0
     P = np.eye(3, 4, dtype=np.float32)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)

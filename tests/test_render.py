@@ -16,7 +16,7 @@ def _scene(n=40, seed=0):
     model = init_from_points(xyz, knn, capacity=64)
     # vary colors and opacities
     sh = np.array(model.sh)
-    sh[:n, 0] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
     quat = rng.normal(size=(64, 4)).astype(np.float32)
     model = model._replace(
         sh=jnp.asarray(sh),

@@ -35,10 +35,12 @@ def test_sharded_step_matches_single_device():
     stats = DensifyStats.zeros(model.capacity)
     P, K, imgs = scene.P, scene.K, images
 
-    # single-device reference
+    # single-device reference (the step donates params/opt_state/stats, so
+    # give it copies and keep the originals for the sharded run)
+    copy = lambda t: jax.tree.map(jnp.array, t)
     single = make_train_step(cfg, rcfg, ds.img_wh, opt)
     p1, o1, s1, m1 = single(
-        params, model.alive, opt_state, stats,
+        copy(params), model.alive, copy(opt_state), copy(stats),
         jnp.asarray(P), jnp.asarray(K), jnp.asarray(imgs),
     )
 

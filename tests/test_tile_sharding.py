@@ -81,7 +81,11 @@ def test_tile_sharded_step_gradients_match():
     from simplegaussiansplat_tk71_tpu.train.trainer import make_train_step
 
     single = make_train_step(cfg, rcfg, wh, opt)
-    p1, _, _, m1 = single(params, model.alive, opt_state, stats, Pm, Km, target)
+    # the step donates params/opt_state/stats: hand it copies
+    copy = lambda t: jax.tree.map(jnp.array, t)
+    p1, _, _, m1 = single(
+        copy(params), model.alive, copy(opt_state), copy(stats), Pm, Km, target
+    )
 
     mesh = make_mesh(4)
     step = make_tile_sharded_train_step(mesh, cfg, rcfg, wh, opt)
