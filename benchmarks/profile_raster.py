@@ -59,16 +59,16 @@ def main():
             Pm, Km, (W, H), sh_degree=2, bbox_max_frac=0.4, alive=model.alive,
         )
     )(params)
-    bins = jax.jit(
-        lambda m2, bb, dp, vl: binning.bin_gaussians(
-            m2, bb, dp, vl, (W, H), tile_size=ts, max_pairs=max_pairs,
-            max_per_tile=Kmax, build_table=False,
-        )
-    )(proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0])
     packed = jnp.concatenate(
         [proj.mean2d[0], proj.conic[0], proj.opacity[0][:, None],
          proj.color[0]], axis=1,
     )  # (N, 9)
+    bins = jax.jit(
+        lambda m2, bb, dp, vl, pk: binning.bin_gaussians(
+            m2, bb, dp, vl, (W, H), tile_size=ts, max_pairs=max_pairs,
+            max_per_tile=Kmax, build_table=False, attrs=pk,
+        )
+    )(proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0], packed)
     Pn = bins.gid_s.shape[0]
     K = Kmax
 
@@ -106,41 +106,21 @@ def main():
         # reducing the whole array)
         return x.reshape(-1)[::8191].sum().astype(jnp.int32) % 5
 
-    # 1. pair row gather
-    bench(
-        "pair_gather",
-        lambda c, pk, gs: tap(pk[jnp.minimum(gs + c % 2, N - 1)]) + c,
-        (packed, bins.gid_s),
-    )
-    ap = jax.jit(lambda pk, gs: pk[gs])(packed, bins.gid_s)  # (P, 9)
-
-    # 2. transpose + pad
-    Pa = -(-Pn // 128) * 128 + rp._window_lanes(K)
-
-    def tr(c, ap):
-        x = jnp.swapaxes(ap + (c % 2).astype(jnp.float32), 0, 1)
-        x = jnp.pad(x, ((0, rp.NUM_ATTR_ROWS - 9), (0, Pa - Pn)))
-        return tap(x) + c
-
-    bench("transpose_pad", tr, (ap,))
-    apT = jax.jit(
-        lambda ap: jnp.pad(
-            jnp.swapaxes(ap, 0, 1),
-            ((0, rp.NUM_ATTR_ROWS - 9), (0, Pa - Pn)),
-        )
-    )(ap)
-
-    # 3. window-table kernel
-    def wt(c, apT, ss, sl):
-        out = rp.pair_attrs_to_table(
-            apT + (c % 2).astype(jnp.float32), ss, sl, K
+    # 1. pair table from sort-carried attr columns (+ key row encode)
+    def wt(c, a_s, ks, ss, sl):
+        out = rp._pair_table(
+            a_s + (c % 2).astype(jnp.float32), ks, ss, sl, K
         )
         return tap(out) + c
 
-    bench("window_table", wt, (apT, bins.seg_start, bins.seg_len))
+    bench(
+        "pair_table",
+        wt,
+        (bins.attrs_s, bins.key_s, bins.seg_start, bins.seg_len),
+    )
     attrs = jax.jit(
-        lambda apT, ss, sl: rp.pair_attrs_to_table(apT, ss, sl, K)
-    )(apT, bins.seg_start, bins.seg_len)
+        lambda a_s, ks, ss, sl: rp._pair_table(a_s, ks, ss, sl, K)
+    )(bins.attrs_s, bins.key_s, bins.seg_start, bins.seg_len)
     seg_len_c = jnp.minimum(bins.seg_len, K)
 
     # 4. composite fwd kernel only
@@ -201,26 +181,56 @@ def main():
         )
     )(attrs, g_tiles, seg_len_c)
 
-    # 6. flatten (free reshape, row-major slots) + slot->pair gather
-    def fg(c, sg, so):
-        flat = sg.reshape(T * K, 16) + (c % 2).astype(jnp.float32)
-        flat_pad = jnp.concatenate([flat, jnp.zeros((1, 16), flat.dtype)])
-        return tap(flat_pad[so]) + c
+    # 6. grad-routing sort: slot keys (attr row 9) + 9 grad columns + dummies
+    def fg(c, sg, attrs, kog):
+        keys_slot = (
+            jax.lax.bitcast_convert_type(attrs[:, rp.KEY_ROW, :], jnp.int32)
+            - 1
+        ).reshape(T * K)
+        keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
+        dummy = jnp.where(kog >= 0, kog, N - 1)
+        keys_all = jnp.concatenate([keys_slot, dummy])
+        zn = jnp.zeros((N,), jnp.float32)
+        cols = tuple(
+            jnp.concatenate(
+                [sg[:, a, :].reshape(T * K) + (c % 2).astype(jnp.float32), zn]
+            )
+            for a in range(9)
+        )
+        srt = jax.lax.sort((keys_all,) + cols, num_keys=1)
+        return tap(srt[3]) + c
 
-    bench("slot_to_pair_gather", fg, (slot_grads, bins.slot_of_om))
-    flat = slot_grads.reshape(T * K, 16)
-    flat_pad = jnp.concatenate([flat, jnp.zeros((1, 16), flat.dtype)])
-    pair_grad = jax.jit(lambda fp, so: fp[so])(flat_pad, bins.slot_of_om)
+    bench("grad_sort", fg, (slot_grads, attrs, bins.key_of_gauss))
 
-    # 7. segsum
-    def sgs(c, pg, ko):
-        s = segment_sum_sorted(pg + (c % 2).astype(jnp.float32), ko, N, raw=True)
+    keys_slot = (
+        jax.lax.bitcast_convert_type(attrs[:, rp.KEY_ROW, :], jnp.int32) - 1
+    ).reshape(T * K)
+    keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
+    dummy = jnp.where(bins.key_of_gauss >= 0, bins.key_of_gauss, N - 1)
+    keys_all = jnp.concatenate([keys_slot, dummy])
+    zn = jnp.zeros((N,), jnp.float32)
+    cols = tuple(
+        jnp.concatenate([slot_grads[:, a, :].reshape(T * K), zn])
+        for a in range(9)
+    )
+    srt = jax.lax.sort((keys_all,) + cols, num_keys=1)
+    keys_srt = srt[0]
+    vals_T = jnp.stack(srt[1:], axis=0)
+
+    # 7. segsum (column layout)
+    def sgs(c, vt, ks):
+        s = segment_sum_sorted(
+            vt + (c % 2).astype(jnp.float32), ks, N, raw=True,
+            cols_layout=True,
+        )
         return tap(s[:N, :9]) + c
 
-    bench("segsum", sgs, (pair_grad, bins.key_of_om))
+    bench("segsum_cols", sgs, (vals_T, keys_srt))
     sums_raw = jax.jit(
-        lambda pg, ko: segment_sum_sorted(pg, ko, N, raw=True)
-    )(pair_grad, bins.key_of_om)
+        lambda vt, ks: segment_sum_sorted(
+            vt, ks, N, raw=True, cols_layout=True
+        )
+    )(vals_T, keys_srt)
 
     # 8. final per-gaussian expansion (ops/expand)
     EB = 512

@@ -111,18 +111,23 @@ def main():
         proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0],
     )
 
-    # --- binning (routed, no table) ---
+    packed = jnp.concatenate(
+        [m2, proj.conic[0], proj.opacity[0][:, None], proj.color[0]], axis=1
+    )  # (N, 9)
+
+    # --- binning (routed: attrs + segment key ride the sort) ---
     def bins_fn(m2, bb, dp, vl, c):
         b = binning.bin_gaussians(
             m2 + (c % 2).astype(jnp.float32), bb, dp, vl, (W, H),
             tile_size=16, max_pairs=max_pairs, max_per_tile=Kmax,
-            build_table=False,
+            build_table=False, attrs=packed,
         )
         return b
 
     bench(
         "binning_routed",
-        lambda c, *a: bins_fn(*a, c).gid_s[12345] % 7 + c,
+        lambda c, *a: bins_fn(*a, c).gid_s[12345] % 7
+        + bins_fn(*a, c).attrs_s[3, 1234].astype(jnp.int32) + c,
         (m2, bb, dp, vl),
     )
     bench(

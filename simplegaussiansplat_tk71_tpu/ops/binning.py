@@ -7,31 +7,34 @@ fixed-capacity *tile-sorted pair space*: for each camera a static list of
 ``max_pairs`` (gaussian, tile) pairs sorted by (tile, depth), from which the
 compositor's per-tile depth lists are contiguous windows.
 
-Pipeline (all static shapes; costs measured on v5e at 1M gaussians / 2.5M
-pairs, see benchmarks/micro_sort_check3.py):
+Pipeline (all static shapes; costs measured on v5e at 1M gaussians / 2.2M
+pairs):
 
   1. per-gaussian covered tile spans straight from the projected boxes —
      gaussian-major, NO global depth argsort (the reference's z-argsort,
      gs_model.py:356-365, is replaced by the pair sort's depth key);
   2. owner lookup (pair j -> gaussian g): histogram of the count-cumsum +
      int cumsum (~9.5 ms, vs ~74 ms sort-merge searchsorted);
-  3. one packed row gather of everything pair expansion needs (~12 ms;
-     row gathers are latency-bound: 3 vs 5 int32 columns measure the same);
-  4. one 2-key sort by (tile id, depth bits) (~8.6 ms; bitcast of a positive
-     float is monotone, so depth order inside every tile is exact);
+  3. one packed row gather of everything pair expansion needs, INCLUDING the
+     9 bitcast render-attr columns when ``attrs`` is given (row gathers are
+     latency-bound: 6 vs 15 int32 columns measure the same);
+  4. one 2-key sort by (tile id, depth bits) carrying the attr columns and
+     the gradient segment key as payloads (bitcast of a positive float is
+     monotone, so depth order inside every tile is exact; 9 extra f32
+     payloads cost ~1 ms at 2.5M rows vs ~40 ms for the tile-order row
+     gather they replace — sort payloads are dense 1-D columns, while the
+     gather reads (N, 9) rows lane-padded 14x, NOTES.md layout tax);
   5. per-tile segment spans via searchsorted on the sorted tile keys
-     (~1.6 ms); the compositor reads pair-space windows directly
-     (ops/rasterize_pallas.pair_attrs_to_table) — no (T, K) id table gather
-     (that gather alone measured 18 ms) unless ``build_table`` is set for
-     the XLA / tile-sharded paths.
+     (~1.6 ms); the compositor reads the sorted attr columns directly
+     (ops/rasterize_pallas.pair_attrs_to_table) — no (T, K) id table unless
+     ``build_table`` is set for the XLA / tile-sharded paths.
 
-Gradient routing (ops/rasterize_pallas._composite_pairroute_bwd) rides the
-same pair space: gaussian-major pair order has *sorted* owner keys by
-construction, so per-gaussian gradient reduction is a gather into
-gaussian-major order + one MXU segment sum (ops/segsum) + one row gather —
-no scatter-add and, unlike the old depth-major design, no extra
-inverse-permutation sort for gaussian ranks (the segment key is the
-valid-compaction index, a cumsum).
+Gradient routing (ops/rasterize_pallas._composite_pairroute_bwd) rides
+``key_s`` (the owner's valid-compaction rank per tile-sorted pair, carried
+through the same sort): the fused backward emits per-slot gradient rows, the
+key table rides row 9 of the forward attr table, and the reduction is one
+1-key payload sort + an MXU segment sum (ops/segsum) + a one-hot expansion
+(ops/expand) — no scatter-add, no slot->pair gather.
 
 Overflow (dropped pairs or per-tile truncation beyond ``max_per_tile``) is
 returned, never silent — callers surface it in metrics. Pair-capacity
@@ -57,9 +60,11 @@ class TileBins(NamedTuple):
     gid_s: jnp.ndarray  # (P,) int32 pair owner gaussian id, (tile, depth)-sorted
     seg_start: jnp.ndarray  # (T,) int32 first pair index of tile t
     seg_len: jnp.ndarray  # (T,) int32 true list length (may exceed K)
-    # --- gradient routing (gaussian-major pair order) ---
-    slot_of_om: jnp.ndarray  # (P,) int32 dense slot t*K+k of gaussian-major pair j, sentinel T*K
-    key_of_om: jnp.ndarray  # (P,) int32 sorted segment key (owner's valid-compaction index)
+    # --- sort-carried render attrs + gradient segment key (stop-gradient;
+    # grads flow through the rasterizer's custom vjp, not the sort) ---
+    attrs_s: Optional[jnp.ndarray]  # (A, P) f32 per-pair attrs, tile-sorted
+    key_s: Optional[jnp.ndarray]  # (P,) int32 owner's segment rank, tile-sorted
+    # --- gradient routing ---
     vid: jnp.ndarray  # (N,) int32 valid-compaction rank (nondecreasing, steps <= 1)
     key_of_gauss: jnp.ndarray  # (N,) int32 segment of gaussian i, -1 if no surviving pairs
     n_live: jnp.ndarray  # () int32 segments with >=1 surviving pair (a prefix)
@@ -75,6 +80,7 @@ def bin_gaussians(
     max_pairs: int | None = None,
     max_per_tile: int = 512,
     build_table: bool = True,
+    attrs: jnp.ndarray | None = None,
 ) -> TileBins:
     """Build tile-sorted pair space (+ optional dense id table) for one camera.
 
@@ -85,6 +91,10 @@ def bin_gaussians(
       max_pairs: static capacity of the pair list (default 8*N).
       max_per_tile: static depth-list length K per tile.
       build_table: also gather the (T, K) id table + mask (XLA path).
+      attrs: optional (N, A) f32 per-gaussian render attributes to carry
+        through the pair expansion + sort (returned tile-sorted as (A, P)
+        ``attrs_s``). Treated as constants (stop_gradient): the rasterizer's
+        custom vjp owns their gradient.
     """
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -123,26 +133,45 @@ def bin_gaussians(
 
     # --- 3. one packed row gather for everything pair expansion needs.
     # Depth keys: positive float32 bitcast to int32 is monotone, so the pair
-    # sort's secondary key reproduces an exact per-tile depth order.
+    # sort's secondary key reproduces an exact per-tile depth order. Render
+    # attrs ride the same gather bitcast to int32 (exact).
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(depth, 0.0).astype(jnp.float32), jnp.int32
     )
-    packed = jnp.stack(
-        [tx0, ty0, span_w, offsets, depth_bits, vid], axis=1
-    )  # (N, 6)
-    rows = packed[g]  # (P, 6)
+    cols = [tx0, ty0, span_w, offsets, depth_bits, vid]
+    A = 0
+    if attrs is not None:
+        attrs = jax.lax.stop_gradient(attrs)
+        A = attrs.shape[1]
+        cols += [
+            jax.lax.bitcast_convert_type(attrs[:, a], jnp.int32)
+            for a in range(A)
+        ]
+    packed = jnp.stack(cols, axis=1)  # (N, 6 + A)
+    rows = packed[g]  # (P, 6 + A)
     local = j - rows[:, 3]
     lx = local % rows[:, 2]
     ly = local // rows[:, 2]
     tile = (rows[:, 1] + ly) * ntx + (rows[:, 0] + lx)
     pair_valid = j < total
     tile = jnp.where(pair_valid, tile, T).astype(jnp.int32)  # sentinel tail
-    key_of_om = rows[:, 5]  # sorted: vid nondecreasing, g nondecreasing
 
-    # --- 4. 2-key sort by (tile, depth); owner id + pair index ride along ---
-    tile_s, _, gid_s, om_idx = jax.lax.sort(
-        (tile, rows[:, 4], g, j), num_keys=2
+    # --- 4. 2-key sort by (tile, depth); owner id, segment key and attr
+    # columns ride along as payloads (near-free: see module docstring) ---
+    operands = (tile, rows[:, 4], g, rows[:, 5]) + tuple(
+        rows[:, 6 + a] for a in range(A)
     )
+    out = jax.lax.sort(operands, num_keys=2)
+    tile_s, gid_s, key_s = out[0], out[2], out[3]
+    attrs_s = None
+    if A:
+        attrs_s = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(out[4 + a], jnp.float32)
+                for a in range(A)
+            ],
+            axis=0,
+        )  # (A, P)
 
     # --- 5. per-tile segments of sorted pair space ---
     tids = jnp.arange(T, dtype=jnp.int32)
@@ -151,15 +180,6 @@ def bin_gaussians(
     seg_len = seg_end - seg_start
 
     # --- 6. gradient-routing tables (see module docstring) ---
-    # slot of tile-sorted pair q (sentinel T*K for padding/truncated pairs),
-    # permuted into gaussian-major order with a key sort (sorting
-    # (perm, payload) by the unique perm keys IS the inverse permutation,
-    # measured ~2x cheaper than the equivalent scatter-set on v5e).
-    t_q = jnp.minimum(tile_s, T - 1)
-    k_q = j - seg_start[t_q]
-    in_table = (tile_s < T) & (k_q < K)
-    slot_q = jnp.where(in_table, t_q * K + k_q, T * K).astype(jnp.int32)
-    _, slot_of_om = jax.lax.sort((om_idx, slot_q), num_keys=1)
     # segments with surviving pairs form a prefix of [0, n_valid): capacity
     # drops cut the gaussian-major tail (offsets nondecreasing)
     surviving = valid & (offsets < jnp.minimum(total, P))
@@ -185,8 +205,8 @@ def bin_gaussians(
         gid_s=gid_s,
         seg_start=seg_start,
         seg_len=seg_len,
-        slot_of_om=slot_of_om,
-        key_of_om=key_of_om,
+        attrs_s=attrs_s,
+        key_s=key_s,
         vid=vid,
         key_of_gauss=key_of_gauss,
         n_live=n_live,

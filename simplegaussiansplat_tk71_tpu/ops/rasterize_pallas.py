@@ -14,9 +14,11 @@ block is (1, A, K) / (1, 8, P) with aligned trailing dims):
          (opacity pre-masked to 0 for invalid slots — op > 0 is the validity
          test in-kernel; sigmoid can never be exactly 0 for a live gaussian)
   out:   (T, 8, P)     rows 0..2 = composited RGB for the tile's P pixels
-  grads: (T, K, 16)    lanes 0..8 = d mux, d muy, d a, d b, d c, d op, d rgb
-         (row-major slots: the per-slot lane reductions are naturally (K,)
-         sublane columns, and the (T*K, 16) flatten downstream is free)
+  grads: (T, 16, K)    rows 0..8 = d mux, d muy, d a, d b, d c, d op, d rgb
+         (attr-major: lanes = K keeps the HBM buffer unpadded; a (.., K, 16)
+         layout pads 16 -> 128 lanes, 8x memory and traffic)
+  row 9 of attrs carries the gradient segment key, bitcast(key + 1) (the
+  window kernel's zero fill then decodes to key -1 = "empty slot")
 
 The depth-axis exclusive cumprod / suffix cumsum are Hillis-Steele scans over
 the K (sublane) axis — log2(K) shift+combine steps on (K, P) VMEM tiles,
@@ -142,30 +144,24 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref,
         ca = attrs[2, :][:, None]
         cb = attrs[3, :][:, None]
         cc = attrs[4, :][:, None]
-        # per-slot grads assemble as (K, 9) rows — the lane reductions below
-        # produce (K,) sublane columns, so the row-major slot layout needs no
-        # in-register relayout, and the flatten to (T*K, 16) downstream is a
-        # free reshape (the old (9, K) layout forced a strided transpose
-        # inside the slot->pair gather, measured ~+15 ms at bench scale)
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1, keepdims=True)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1, keepdims=True)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1, keepdims=True)
-        g_cb = jnp.sum(-m * dx * dy, axis=1, keepdims=True)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1, keepdims=True)
-        g_op = jnp.sum(g * u, axis=1, keepdims=True)
-        # dL/dcol_c = sum_p gI_c * T * alpha : (K, 3)
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
         g_col = jax.lax.dot_general(
-            t_excl * alpha, gimg, (((1,), (1,)), ((), ())),
+            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        grads = jnp.concatenate(
-            [g_mux, g_muy, g_ca, g_cb, g_cc, g_op, g_col], axis=1
-        )  # (K, 9)
+        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
         # zero grads of masked slots — ids point at clamped garbage rows
-        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[:, None]  # (K, 1)
+        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
         grads = grads * valid_k
-        grad_ref[t, :, :] = jnp.pad(grads, ((0, 0), (0, NUM_ATTR_ROWS - 9)))
+        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
 def _forward_kernel_v2(
@@ -272,7 +268,7 @@ def _backward_kernel_v2(
     )
 
     # zero-init output (unused blocks keep zero grads)
-    grad_ref[0, :, :] = jnp.zeros((Kk, NUM_ATTR_ROWS), jnp.float32)
+    grad_ref[0, :, :] = jnp.zeros((NUM_ATTR_ROWS, Kk), jnp.float32)
 
     # phase 2: reverse over used blocks with suffix carry
     def bbody(i, carry):
@@ -297,24 +293,25 @@ def _backward_kernel_v2(
         valid = op > 0.0
         u = jnp.where(valid, u, 0.0)
         m = op * u * g
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1, keepdims=True)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1, keepdims=True)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1, keepdims=True)
-        g_cb = jnp.sum(-m * dx * dy, axis=1, keepdims=True)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1, keepdims=True)
-        g_op = jnp.sum(g * u, axis=1, keepdims=True)
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
         g_col = jax.lax.dot_general(
-            t_excl * alpha, gimg, (((1,), (1,)), ((), ())),
+            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (D, 3)
+        )  # (3, D)
         grads = jnp.concatenate(
-            [g_mux, g_muy, g_ca, g_cb, g_cc, g_op, g_col], axis=1
-        )  # (D, 9)
-        valid_k = valid.astype(jnp.float32)[:, 0][:, None]
+            [jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0), g_col],
+            axis=0,
+        )  # (9, D)
+        valid_k = valid.astype(jnp.float32)[:, 0][None, :]
         grads = grads * valid_k
         start = pl.multiple_of(kb * D, D)
-        grad_ref[0, pl.ds(start, D), 0:9] = grads
+        grad_ref[0, 0:9, pl.ds(start, D)] = grads
         return s_carry + total
 
     jax.lax.fori_loop(0, used, bbody, jnp.zeros((1, P), jnp.float32))
@@ -401,14 +398,14 @@ def composite_tiles_pallas_bwd(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
-    tile_block: int = 1,
+    tile_block: int = 4,
     tile_ids=None,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
-    Returns (T, K, 16) packed per-slot gradients (row-major slots: rows are
-    depth slots, lanes the 9 used gradient channels). tile_block defaults to
-    1 here: the (K, 16) output block pads to 128 lanes in VMEM, and larger
-    blocks push the kernel's scoped-VMEM stack past the 16 MB limit."""
+    Returns (T, 16, K) packed per-slot gradients (attr-major: lanes are the
+    K depth slots — the unpadded HBM layout; rows 0..8 are the used
+    channels, sliced out as contiguous (T*K,) columns by the sort-based
+    routing)."""
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -435,10 +432,10 @@ def composite_tiles_pallas_bwd(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, K, NUM_ATTR_ROWS), lambda i: (i, 0, 0),
+                (1, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((T, K, NUM_ATTR_ROWS), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, NUM_ATTR_ROWS, K), jnp.float32),
             scratch_shapes=[pltpu.VMEM((K // depth_block, P), jnp.float32)],
         )(seg_len, _tile_ids_or_arange(tile_ids, T, T), attrs, g_tiles)
     TB = tile_block
@@ -456,9 +453,9 @@ def composite_tiles_pallas_bwd(
             pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TB, K, NUM_ATTR_ROWS), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T_pad, K, NUM_ATTR_ROWS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
     )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
 
@@ -485,12 +482,11 @@ def _composite_pallas_bwd(
     img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
     attrs, seg_len, tile_ids = res
-    g_slots = composite_tiles_pallas_bwd(
+    g_attrs = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len, tile_ids=tile_ids,
-    )  # (T, K, 16) row-major slots
-    g_attrs = jnp.swapaxes(g_slots, 1, 2)  # back to the (T, 16, K) attr layout
-    return (g_attrs, None, None)
+    )
+    return (g_attrs, None, None)  # same (T, 16, K) layout as attrs
 
 
 _composite_pallas.defvjp(_composite_pallas_fwd, _composite_pallas_bwd)
@@ -598,23 +594,30 @@ def _slot_attrs(packed, ids, mask):
     return jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-def _pair_table(packed, gid_s, seg_start, seg_len, K):
-    """Gather pair-space attrs and window-slice them into the (T, A, K)
-    kernel table (no (T, K) id table, no slot-space row gather)."""
-    P = gid_s.shape[0]
-    ap = packed[gid_s]  # (P, 9) one row gather
-    ap = jnp.swapaxes(ap, 0, 1)  # (9, P)
+KEY_ROW = 9  # attr-table row carrying bitcast(segment key + 1)
+
+
+def _pair_table(attrs_s, key_s, seg_start, seg_len, K):
+    """Window-slice sort-carried pair attrs into the (T, A, K) kernel table.
+
+    attrs_s: (9, P) tile-sorted attr columns (carried through the binning
+    sort — no tile-order row gather, see ops/binning); key_s: (P,) int32
+    segment key per sorted pair, encoded into row KEY_ROW as
+    bitcast(key + 1) so the window kernel's zero fill decodes to -1."""
+    A, P = attrs_s.shape
+    enc = jax.lax.bitcast_convert_type(key_s + 1, jnp.float32)[None]
+    ap = jnp.concatenate([attrs_s, enc], axis=0)  # (A + 1, P)
     Pa = -(-P // 128) * 128 + _window_lanes(K)
     ap = jnp.pad(ap, ((0, NUM_ATTR_ROWS - ap.shape[0]), (0, Pa - P)))
     return pair_attrs_to_table(ap, seg_start, seg_len, K)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _composite_pairroute(
-    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, vid,
-    key_of_gauss, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
+    K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
-    attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
+    attrs = _pair_table(attrs_s, key_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
     return composite_tiles_pallas(
         attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
@@ -622,17 +625,21 @@ def _composite_pairroute(
 
 
 def _composite_pairroute_fwd(
-    packed, gid_s, seg_start, seg_len, slot_of_om, key_of_om, vid,
-    key_of_gauss, K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
+    K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
-    attrs = _pair_table(packed, gid_s, seg_start, seg_len, K)
+    # packed is numerically identical to the sort-transported attrs_s and is
+    # unused in the forward — it exists as the differentiable anchor: the
+    # backward returns d/d(packed) and autodiff chains it through the
+    # projection math, while attrs_s/key_s are stop-gradient'd in binning.
+    attrs = _pair_table(attrs_s, key_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
     out = composite_tiles_pallas(
         attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
     )
-    # save the windowed attrs (the kernel input) rather than regathering in
-    # backward — 160 MB HBM at bench scale buys back the pair gather
-    res = (attrs, seg_len_c, slot_of_om, key_of_om, vid, key_of_gauss)
+    # save the windowed attrs (the kernel input) rather than rebuilding in
+    # backward; row KEY_ROW doubles as the per-slot segment-key table
+    res = (attrs, seg_len_c, vid, key_of_gauss)
     return out, res
 
 
@@ -642,38 +649,50 @@ _EXPAND_BLOCK = 256  # one-hot matmul flops scale with the block size
 def _composite_pairroute_bwd(
     K, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
-    """Route per-slot kernel gradients to per-gaussian rows with one gather
-    and two MXU kernels (no duplicate-accumulating scatter):
+    """Route per-slot kernel gradients to per-gaussian rows with one
+    payload-carrying sort and two MXU kernels (no scatter-add, no row
+    gathers — XLA random row gathers are issue-bound at ~45 ms / 2.5M rows,
+    and (rows, 9) buffers pad 14x; sort payloads are dense 1-D columns):
 
-      slot (t, k) --gather by slot_of_om--> gaussian-major pair j
-      --sorted-key segment sum (ops/segsum)--> per-live-segment sums
+      slot (t, k) grads + its segment key (attr-table row KEY_ROW)
+      --1-key lax.sort--> key-sorted gradient columns
+      --sorted-key segment sum (ops/segsum, column layout)--> segment sums
       --sorted-key expansion (ops/expand)--> per-gaussian rows
 
-    Gaussian-major pair order has sorted owner keys by construction (the
-    valid-compaction index vid rides the pair expansion), so the segment
-    reduction is block-wise one-hot matmuls with a carried boundary
-    partial, and the spread back to per-gaussian rows is the transposed
-    one-hot expansion reading the segment-sum buffer through row-window
-    DMAs (keys vid are nondecreasing with steps <= 1; gaussians with no
-    surviving pairs carry key -1 and get exact zero rows). The expansion
-    replaced a 37 ms XLA row gather with ~4 ms of MXU work at 1M gaussians
-    (tests/test_pair_route checks grads against the XLA path).
+    ops/segsum needs gap-free sorted keys (every segment in [0, n_live)
+    present); slots alone can miss a segment whose every pair was truncated
+    past K, so one zero-gradient dummy row per surviving segment is
+    concatenated before the sort. Empty slots decode to key -1 and are
+    remapped to the pad segment N-1 (zero rows, merge-safe).
+    (tests/test_pair_route checks grads against the XLA path.)
     """
     from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
     from simplegaussiansplat_tk71_tpu.ops.segsum import segment_sum_sorted
 
-    attrs, seg_len_c, slot_of_om, key_of_om, vid, key_of_gauss = res
+    attrs, seg_len_c, vid, key_of_gauss = res
     N = vid.shape[0]
     slot_grads = composite_tiles_pallas_bwd(
         attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
         seg_len_c,
-    )  # (T, K, 16) row-major slots
-    T, Kk, A = slot_grads.shape
+    )  # (T, 16, K) attr-major
+    T, _, Kk = slot_grads.shape
 
-    flat = slot_grads.reshape(T * Kk, A)  # free reshape, contiguous rows
-    flat_pad = jnp.concatenate([flat, jnp.zeros((1, A), flat.dtype)])
-    pair_grad = flat_pad[slot_of_om]  # (P, 16); sentinel T*K -> zero row
-    sums_raw = segment_sum_sorted(pair_grad, key_of_om, N, raw=True)
+    keys_slot = (
+        jax.lax.bitcast_convert_type(attrs[:, KEY_ROW, :], jnp.int32) - 1
+    ).reshape(T * Kk)
+    keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
+    dummy_keys = jnp.where(key_of_gauss >= 0, key_of_gauss, N - 1)
+    keys_all = jnp.concatenate([keys_slot, dummy_keys])
+    zeros_n = jnp.zeros((N,), jnp.float32)
+    grad_cols = tuple(
+        jnp.concatenate([slot_grads[:, a, :].reshape(T * Kk), zeros_n])
+        for a in range(9)
+    )
+    srt = jax.lax.sort((keys_all,) + grad_cols, num_keys=1)
+    vals_T = jnp.stack(srt[1:], axis=0)  # (9, T*K + N)
+    sums_raw = segment_sum_sorted(
+        vals_T, srt[0], N, raw=True, cols_layout=True
+    )
     nb = -(-N // _EXPAND_BLOCK)
     base = jnp.pad(vid, (0, nb * _EXPAND_BLOCK - N), mode="edge")[
         ::_EXPAND_BLOCK
@@ -681,7 +700,9 @@ def _composite_pairroute_bwd(
     g_packed = expand_rows(
         sums_raw, key_of_gauss, base, _EXPAND_BLOCK, out_cols=9
     )
-    return (g_packed, None, None, None, None, None, None, None)
+    # attrs_s/key_s are sort transports of stop-gradient values: None
+    # (symbolic zero) cotangents
+    return (g_packed, None, None, None, None, None, None)
 
 
 _composite_pairroute.defvjp(_composite_pairroute_fwd, _composite_pairroute_bwd)
@@ -706,11 +727,11 @@ def rasterize_tiles_pallas(
 
     Without ``route``, per-tile attributes come from one XLA row-gather of
     the (T, K) id table and gradients flow through that gather's
-    scatter-add transpose; with ``route`` (a TileBins from ops.binning,
-    which may omit the id table — pass ``max_per_tile``) attributes are
-    windowed straight out of tile-sorted pair space
-    (pair_attrs_to_table) and the backward uses the pair-space routing of
-    _composite_pairroute_bwd instead.
+    scatter-add transpose; with ``route`` (a TileBins from ops.binning
+    built with ``attrs`` — the sort-carried attr columns — and possibly no
+    id table: pass ``max_per_tile``) attributes are windowed straight out
+    of tile-sorted pair space (pair_attrs_to_table) and the backward uses
+    the sort-based routing of _composite_pairroute_bwd instead.
     """
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -725,12 +746,12 @@ def rasterize_tiles_pallas(
 
     if route is not None:
         assert route.seg_start.shape[0] == T
+        assert route.attrs_s is not None, "route needs binning(attrs=packed)"
         K = route.ids.shape[1] if route.ids is not None else max_per_tile
         assert K is not None, "max_per_tile required when route has no table"
         out = _composite_pairroute(
-            packed, route.gid_s, route.seg_start, route.seg_len,
-            route.slot_of_om, route.key_of_om, route.vid,
-            route.key_of_gauss,
+            packed, route.attrs_s, route.key_s, route.seg_start,
+            route.seg_len, route.vid, route.key_of_gauss,
             K, img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:

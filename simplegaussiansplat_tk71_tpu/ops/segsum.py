@@ -44,8 +44,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _segsum_kernel(B, C, inner, nprog, vals_ref, keys_ref, out_ref, win_ref,
-                   carry_ref, last_rank_ref, sem):
+def _segsum_kernel(B, C, inner, nprog, cols_layout, vals_ref, keys_ref,
+                   out_ref, win_ref, carry_ref, last_rank_ref, sem):
     s0 = pl.program_id(0)
     W = B * inner
     slot = jax.lax.rem(s0, 2)
@@ -59,21 +59,28 @@ def _segsum_kernel(B, C, inner, nprog, vals_ref, keys_ref, out_ref, win_ref,
     rf0 = jnp.min(keys_ref[0:B, 0])
     for i in range(inner):
         keys = keys_ref[i * B:(i + 1) * B, 0]  # (B,) int32, sorted
-        vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
         rf = jnp.min(keys)
         rl = jnp.max(keys)
         local = (keys - rf)[:, None]  # (B, 1) in [0, B)
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
         onehot = (local == cols).astype(jnp.float32)  # (B, B): [j, r]
-        sums = jax.lax.dot_general(
-            onehot, vals, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # HIGHEST: the TPU default truncates f32 matmul inputs to one
-            # bf16 pass, which rounds every gradient row to ~3 decimal
-            # digits; bf16x3 keeps the segment sums f32-exact for the 0/1
-            # one-hot operand
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (B, C) per local rank
+        # HIGHEST: the TPU default truncates f32 matmul inputs to one bf16
+        # pass, which rounds every gradient row to ~3 decimal digits; bf16x3
+        # keeps the segment sums f32-exact for the 0/1 one-hot operand
+        if cols_layout:
+            vals = vals_ref[:, i * B:(i + 1) * B]  # (C, B)
+            sums = jax.lax.dot_general(
+                onehot, vals, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (B, C) per local rank
+        else:
+            vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
+            sums = jax.lax.dot_general(
+                onehot, vals, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (B, C) per local rank
         # fold the carried partial of the previous block's last rank into
         # local row 0 when that rank continues into this block
         cont = (last_rank_ref[0] == rf).astype(jnp.float32)
@@ -116,6 +123,7 @@ def segment_sum_sorted(
     block: int = 256,
     inner: int = 8,
     raw: bool = False,
+    cols_layout: bool = False,
 ) -> jnp.ndarray:
     """Segment sum of ``vals`` (P, C) by sorted int32 ``keys`` (P,) in
     [0, num_segments). Returns (num_segments, C), or the raw padded
@@ -124,23 +132,36 @@ def segment_sum_sorted(
 
     Keys must be nondecreasing with increments <= 1 (so the set of keys that
     occur is a prefix [0, n_live); tail segments get zeros or garbage).
+
+    ``vals`` may be (P, C) rows or — preferred on TPU — (C, P) columns
+    (``cols_layout=True``): a (P, few) HBM buffer pads its C lanes to the
+    128 tile (14x traffic at C=9), while (C, P) is dense.
     """
-    P, C = vals.shape
+    if cols_layout:
+        C, P = vals.shape
+    else:
+        P, C = vals.shape
     N = num_segments
     step = block * inner
     P_pad = -(-P // step) * step
     if P_pad != P:
-        vals = jnp.pad(vals, ((0, P_pad - P), (0, 0)))
+        pad = ((0, 0), (0, P_pad - P)) if cols_layout else ((0, P_pad - P), (0, 0))
+        vals = jnp.pad(vals, pad)
         keys = jnp.pad(keys, (0, P_pad - P), constant_values=N - 1)
     nprog = P_pad // step
-    kernel = functools.partial(_segsum_kernel, block, C, inner, nprog)
+    kernel = functools.partial(
+        _segsum_kernel, block, C, inner, nprog, cols_layout
+    )
+    vals_spec = (
+        pl.BlockSpec((C, step), lambda s: (0, s), memory_space=pltpu.VMEM)
+        if cols_layout
+        else pl.BlockSpec((step, C), lambda s: (s, 0), memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
         kernel,
         grid=(nprog,),
         in_specs=[
-            pl.BlockSpec(
-                (step, C), lambda s: (s, 0), memory_space=pltpu.VMEM
-            ),
+            vals_spec,
             pl.BlockSpec(
                 (step, 1), lambda s: (s, 0), memory_space=pltpu.VMEM
             ),

@@ -79,6 +79,13 @@ def render_params(
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
         routed = config.use_pallas and config.pair_grad_route
+        packed = (
+            jnp.concatenate(
+                [mean2d, conic, opacity[:, None], color], axis=1
+            )
+            if routed
+            else None
+        )  # (N, 9): the render attrs ride the binning sort (see ops/binning)
         bins = binning.bin_gaussians(
             mean2d,
             bbox_half,
@@ -91,6 +98,7 @@ def render_params(
             # the routed pallas path reads pair space directly — skip the
             # (T, K) id-table gather entirely (18 ms at bench scale)
             build_table=not routed,
+            attrs=packed,
         )
         if config.use_pallas:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
