@@ -40,7 +40,7 @@ def _scene(n, W, H, f, seed=0, scale_lo=0.004, scale_hi=0.02):
         xyz, rng.uniform(scale_lo, scale_hi, n).astype(np.float32)
     )
     sh = np.array(model.sh)
-    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[0:3, :n] = rng.uniform(0.5, 3.0, size=(n, 3)).T
     model = model._replace(sh=jnp.asarray(sh))
     P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
     K = jnp.asarray(

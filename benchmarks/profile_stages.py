@@ -52,7 +52,7 @@ def main():
         xyz, rng.uniform(0.004, 0.02, N).astype(np.float32), capacity=None
     )
     sh = np.array(model.sh)
-    sh[:N, 0:3] = rng.uniform(0.5, 3.0, size=(N, 3))
+    sh[0:3, :N] = rng.uniform(0.5, 3.0, size=(N, 3)).T
     model = model._replace(sh=jnp.asarray(sh))
     P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
     K = jnp.asarray(

@@ -78,12 +78,15 @@ def densify_and_prune(
     """Returns (new_model, new_stats, info dict). Host-side (numpy)."""
     rng = rng or np.random.default_rng(0)
 
+    # model storage is component-major (C, N) on device (NOTES.md layout
+    # tax); densify logic runs row-major in numpy — transpose at the edges
+    # (cheap host copies)
     alive = np.asarray(model.alive)
-    mean = np.asarray(model.mean)[alive]
-    quat = np.asarray(model.quat)[alive]
-    log_scale = np.asarray(model.log_scale)[alive]
-    logit_op = np.asarray(model.logit_opacity)[alive]
-    sh = np.asarray(model.sh)[alive]
+    mean = np.asarray(model.mean).T[alive]
+    quat = np.asarray(model.quat).T[alive]
+    log_scale = np.asarray(model.log_scale).T[alive]
+    logit_op = np.asarray(model.logit_opacity)[alive][:, None]
+    sh = np.asarray(model.sh).T[alive]
     g_norm = np.asarray(stats.grad_norm_accum)[alive]
     g_iter = np.asarray(stats.visible_count)[alive]
 
@@ -154,15 +157,20 @@ def densify_and_prune(
         out[:n] = x
         return jnp.asarray(out)
 
+    def pack_t(x, fill=0.0):
+        out = np.full((cap, x.shape[1]), fill, x.dtype)
+        out[:n] = x
+        return jnp.asarray(np.ascontiguousarray(out.T))
+
     quat_packed = np.zeros((cap, 4), np.float32)
     quat_packed[:, 3] = 1.0  # identity fill: zero quats have degenerate grads
     quat_packed[:n] = quat
     new_model = GaussianModel(
-        mean=pack(mean),
-        quat=jnp.asarray(quat_packed),
-        log_scale=pack(log_scale, fill=-10.0),
-        logit_opacity=pack(logit_op),
-        sh=pack(sh),
+        mean=pack_t(mean),
+        quat=jnp.asarray(np.ascontiguousarray(quat_packed.T)),
+        log_scale=pack_t(log_scale, fill=-10.0),
+        logit_opacity=pack(logit_op[:, 0]),
+        sh=pack_t(sh),
         alive=jnp.asarray(np.arange(cap) < n),
     )
     if reset_stats:

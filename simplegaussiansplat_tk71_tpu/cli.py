@@ -106,7 +106,7 @@ def cmd_synthetic_train(args):
     xyz[:, 2] += 4.0
     gt = init_from_points(xyz, np.full(n, 0.1, np.float32))
     sh = np.array(gt.sh)
-    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[0:3, :n] = rng.uniform(0.5, 3.0, size=(n, 3)).T
     gt = gt._replace(sh=jnp.asarray(sh))
     f = 1.2 * W
     Ps, Ks = [], []
@@ -163,9 +163,7 @@ def _load_model_any(path):
             quat=jnp.asarray(data["model.quat"]),
             log_scale=jnp.asarray(data["model.log_scale"]),
             logit_opacity=jnp.asarray(data["model.logit_opacity"]),
-            sh=jnp.asarray(data["model.sh"]).reshape(
-                data["model.sh"].shape[0], -1
-            ),
+            sh=jnp.asarray(data["model.sh"]),
             alive=jnp.asarray(data["model.alive"]),
         )
     return load_reference_pt(path)

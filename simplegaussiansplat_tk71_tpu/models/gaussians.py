@@ -7,12 +7,16 @@ rounded up to a bucket size and carry an ``alive`` mask; densify/prune edit
 rows and the mask without recompiling until capacity is exceeded (SURVEY.md
 section 7.1 item 3).
 
-Parameterization (identical to the reference):
-  mean (C, 3) world position               gs_model.py:151
-  quat (C, 4) xyzw rotation                gs_model.py:152 (variance_q)
-  log_scale (C, 3)                         gs_model.py:153 (variance_scale)
-  logit_opacity (C, 1)                     gs_model.py:154 (opacity)
-  sh (C, (L+1)^2, 3) SH coefficients       gs_model.py:156-158 (color)
+Parameterization (same quantities as the reference, component-major: an
+(N, few-columns) f32 buffer pads its minor dim to the TPU's (8, 128) tile at
+14-42x memory and elementwise traffic — NOTES.md layout tax — while (C, N)
+component rows are dense; measured 7.3 -> 0.5 ms for the Adam update of one
+(1M, 3) leaf):
+  mean (3, C) world position               gs_model.py:151
+  quat (4, C) xyzw rotation                gs_model.py:152 (variance_q)
+  log_scale (3, C)                         gs_model.py:153 (variance_scale)
+  logit_opacity (C,)                       gs_model.py:154 (opacity)
+  sh ((L+1)^2 * 3, C) packed SH rows       gs_model.py:156-158 (color)
 """
 
 from typing import NamedTuple
@@ -35,11 +39,11 @@ class GaussianModel(NamedTuple):
 
     @property
     def capacity(self) -> int:
-        return self.mean.shape[0]
+        return self.mean.shape[1]
 
     @property
     def sh_degree(self) -> int:
-        return int(round(np.sqrt(self.sh.shape[1] // 3))) - 1
+        return int(round(np.sqrt(self.sh.shape[0] // 3))) - 1
 
     def num_alive(self):
         return jnp.sum(self.alive)
@@ -88,19 +92,19 @@ def init_from_points(
     cap = capacity if capacity is not None else round_capacity(n)
     nb = (sh_degree + 1) ** 2
 
-    mean = np.zeros((cap, 3), np.float32)
-    mean[:n] = xyz
-    quat = np.zeros((cap, 4), np.float32)
-    quat[:, 3] = 1.0
-    log_scale = np.full((cap, 3), -10.0, np.float32)  # dead rows: tiny
-    log_scale[:n] = np.log(np.maximum(knn_mean_dist, 1e-7))[:, None]
+    mean = np.zeros((3, cap), np.float32)
+    mean[:, :n] = xyz.T
+    quat = np.zeros((4, cap), np.float32)
+    quat[3, :] = 1.0
+    log_scale = np.full((3, cap), -10.0, np.float32)  # dead rows: tiny
+    log_scale[:, :n] = np.log(np.maximum(knn_mean_dist, 1e-7))[None, :]
     logit_op = np.full(
-        (cap, 1), float(np.log(opacity_init / (1.0 - opacity_init))), np.float32
+        (cap,), float(np.log(opacity_init / (1.0 - opacity_init))), np.float32
     )
-    # packed 2-D SH (basis-major, channel-minor): a (cap, nb, 3) device
+    # packed SH rows (basis-major, channel-minor): a (cap, nb, 3) device
     # tensor pads its minor dims to the TPU (8, 128) tile at 42-76x memory
-    sh = np.zeros((cap, nb * 3), np.float32)
-    sh[:, 0:3] = c00
+    sh = np.zeros((nb * 3, cap), np.float32)
+    sh[0:3, :] = c00
     alive = np.zeros((cap,), bool)
     alive[:n] = True
 

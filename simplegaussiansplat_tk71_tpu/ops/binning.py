@@ -81,42 +81,60 @@ def bin_gaussians(
     max_per_tile: int = 512,
     build_table: bool = True,
     attrs: jnp.ndarray | None = None,
+    expand_transport: bool | None = None,
 ) -> TileBins:
     """Build tile-sorted pair space (+ optional dense id table) for one camera.
 
     Args:
-      mean2d: (N, 2) pixel means; bbox_half: (N, 2) half extents;
+      mean2d: (2, N) pixel means; bbox_half: (2, N) half extents
+        (component-major, ops/projection layout);
       depth: (N,) camera z (positive where valid); valid: (N,) cull mask.
       img_wh: (width, height) static ints (any size; tile grid is ceil).
       max_pairs: static capacity of the pair list (default 8*N).
       max_per_tile: static depth-list length K per tile.
       build_table: also gather the (T, K) id table + mask (XLA path).
-      attrs: optional (N, A) f32 per-gaussian render attributes to carry
+      attrs: optional (A, N) f32 per-gaussian render attributes to carry
         through the pair expansion + sort (returned tile-sorted as (A, P)
         ``attrs_s``). Treated as constants (stop_gradient): the rasterizer's
         custom vjp owns their gradient.
+      expand_transport: route the per-pair transport through the
+        ops/expand pallas kernel (default: on TPU) instead of an XLA row
+        gather (CPU fallback / interpret tests pass True explicitly).
     """
+    # binning is pure structure — gradients flow through the rasterizer's
+    # custom vjp, never through tile assignment / sort keys (and the pallas
+    # expand transport has no jvp rule to trace)
+    mean2d = jax.lax.stop_gradient(mean2d)
+    bbox_half = jax.lax.stop_gradient(bbox_half)
+    depth = jax.lax.stop_gradient(depth)
+
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
     ntx, nty = -(-width // ts), -(-height // ts)  # ceil: odd image sizes OK
     T = ntx * nty
-    N = mean2d.shape[0]
+    N = mean2d.shape[1]
     P = max_pairs if max_pairs is not None else 8 * N
     K = max_per_tile
 
     # --- 1. covered tile spans, gaussian-major (no depth sort) ---
-    x0 = jnp.clip(jnp.floor((mean2d[:, 0] - bbox_half[:, 0]) / ts), 0, ntx - 1)
-    x1 = jnp.clip(jnp.floor((mean2d[:, 0] + bbox_half[:, 0]) / ts), 0, ntx - 1)
-    y0 = jnp.clip(jnp.floor((mean2d[:, 1] - bbox_half[:, 1]) / ts), 0, nty - 1)
-    y1 = jnp.clip(jnp.floor((mean2d[:, 1] + bbox_half[:, 1]) / ts), 0, nty - 1)
-    tx0 = x0.astype(jnp.int32)
-    ty0 = y0.astype(jnp.int32)
-    span_w = (x1 - x0).astype(jnp.int32) + 1
-    span_h = (y1 - y0).astype(jnp.int32) + 1
-    counts = jnp.where(valid, span_w * span_h, 0)
+    x0 = jnp.clip(jnp.floor((mean2d[0] - bbox_half[0]) / ts), 0, ntx - 1)
+    x1 = jnp.clip(jnp.floor((mean2d[0] + bbox_half[0]) / ts), 0, ntx - 1)
+    y0 = jnp.clip(jnp.floor((mean2d[1] - bbox_half[1]) / ts), 0, nty - 1)
+    y1 = jnp.clip(jnp.floor((mean2d[1] + bbox_half[1]) / ts), 0, nty - 1)
+    # every gaussian owns >= 1 pair: invalid ones get a DUMMY pair that the
+    # forced-huge tx0 below routes to the sentinel tile. This keeps the
+    # owner sequence g nondecreasing with increments <= 1, which turns the
+    # per-pair metadata/attr transport into an ops/expand one-hot window
+    # kernel (~3 ms) instead of a wide row gather (a 15-column gather
+    # measured 70 ms at 2.2M pairs — 5x the 6-column one, proto_binning).
+    tx0 = jnp.where(valid, x0.astype(jnp.int32), jnp.int32(1 << 20))
+    ty0 = jnp.where(valid, y0.astype(jnp.int32), 0)
+    span_w = jnp.where(valid, (x1 - x0).astype(jnp.int32) + 1, 1)
+    span_h = jnp.where(valid, (y1 - y0).astype(jnp.int32) + 1, 1)
+    counts = span_w * span_h
     # valid-compaction index: the gradient-reduction segment of gaussian i.
-    # Valid gaussians always own >= 1 pair (spans are >= 1), so the segment
-    # keys that occur form a prefix [0, n_live) as ops/segsum requires.
+    # Valid gaussians always own >= 1 pair, so the segment keys that occur
+    # form a prefix [0, n_live) as ops/segsum requires.
     vid = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32)) - 1, 0)
 
     # --- 2. owner of pair j = first g with cum[g] > j = #{g : cum[g] <= j}.
@@ -131,35 +149,58 @@ def bin_gaussians(
     )
     g = jnp.minimum(jnp.cumsum(hist), N - 1)
 
-    # --- 3. one packed row gather for everything pair expansion needs.
-    # Depth keys: positive float32 bitcast to int32 is monotone, so the pair
-    # sort's secondary key reproduces an exact per-tile depth order. Render
-    # attrs ride the same gather bitcast to int32 (exact).
-    depth_bits = jax.lax.bitcast_convert_type(
-        jnp.maximum(depth, 0.0).astype(jnp.float32), jnp.int32
-    )
-    cols = [tx0, ty0, span_w, offsets, depth_bits, vid]
+    # --- 3. per-pair metadata + render attrs via one ops/expand call.
+    # Everything is transported as f32 through the one-hot matmul: small
+    # ints (tile coords, spans, offsets <= max_pairs, vid) are exact below
+    # 2^24; depth rides as raw f32 (exact) and is bitcast to a monotone
+    # int32 sort key afterwards.
+    from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
+
+    assert P < (1 << 24), "offsets must stay f32-exact through ops/expand"
     A = 0
+    cols = [
+        tx0.astype(jnp.float32),
+        ty0.astype(jnp.float32),
+        span_w.astype(jnp.float32),
+        offsets.astype(jnp.float32),
+        jnp.maximum(depth, 0.0).astype(jnp.float32),
+        vid.astype(jnp.float32),
+    ]
     if attrs is not None:
         attrs = jax.lax.stop_gradient(attrs)
-        A = attrs.shape[1]
-        cols += [
-            jax.lax.bitcast_convert_type(attrs[:, a], jnp.int32)
-            for a in range(A)
-        ]
-    packed = jnp.stack(cols, axis=1)  # (N, 6 + A)
-    rows = packed[g]  # (P, 6 + A)
-    local = j - rows[:, 3]
-    lx = local % rows[:, 2]
-    ly = local // rows[:, 2]
-    tile = (rows[:, 1] + ly) * ntx + (rows[:, 0] + lx)
+        A = attrs.shape[0]
+        cols += [attrs[a] for a in range(A)]
+    src = jnp.stack(cols, axis=1)  # (N, 6 + A)
+    if expand_transport is None:
+        expand_transport = jax.default_backend() == "tpu"
+    if expand_transport:
+        EB = 128
+        nb = -(-P // EB)
+        base = jnp.pad(g, (0, nb * EB - P), mode="edge")[::EB]
+        # window reads reach [base, base + EB): row-pad the source
+        src_p = jnp.pad(src, ((0, EB), (0, 0)))
+        rowsT = expand_rows(src_p, g, base, EB, cols_layout=True)  # (6+A, P)
+        col_p = lambda i: rowsT[i]
+    else:
+        rows = src[g]  # (P, 6 + A) row gather (CPU / non-pallas fallback)
+        col_p = lambda i: rows[:, i]
+    local = j - col_p(3).astype(jnp.int32)
+    span_w_p = col_p(2).astype(jnp.int32)
+    lx = local % span_w_p
+    ly = local // span_w_p
+    tile = (col_p(1).astype(jnp.int32) + ly) * ntx + col_p(0).astype(
+        jnp.int32
+    ) + lx
     pair_valid = j < total
-    tile = jnp.where(pair_valid, tile, T).astype(jnp.int32)  # sentinel tail
+    tile = jnp.where(pair_valid & (tile < T), tile, T).astype(jnp.int32)
+    depth_bits = jax.lax.bitcast_convert_type(col_p(4), jnp.int32)
+    key_pair = col_p(5).astype(jnp.int32)
 
     # --- 4. 2-key sort by (tile, depth); owner id, segment key and attr
     # columns ride along as payloads (near-free: see module docstring) ---
-    operands = (tile, rows[:, 4], g, rows[:, 5]) + tuple(
-        rows[:, 6 + a] for a in range(A)
+    operands = (tile, depth_bits, g, key_pair) + tuple(
+        jax.lax.bitcast_convert_type(col_p(6 + a), jnp.int32)
+        for a in range(A)
     )
     out = jax.lax.sort(operands, num_keys=2)
     tile_s, gid_s, key_s = out[0], out[2], out[3]
@@ -186,6 +227,8 @@ def bin_gaussians(
     n_live = jnp.sum(surviving.astype(jnp.int32))
     key_of_gauss = jnp.where(surviving, vid, -1).astype(jnp.int32)
 
+    # report REAL pairs: each invalid gaussian holds one sentinel dummy pair
+    n_dummy = N - jnp.sum(valid.astype(jnp.int32))
     dropped = jnp.maximum(total - P, 0).astype(jnp.int32)
     truncated = jnp.sum(jnp.maximum(seg_len - K, 0)).astype(jnp.int32)
 
@@ -199,7 +242,7 @@ def bin_gaussians(
     return TileBins(
         ids=ids,
         mask=mask,
-        num_pairs=total.astype(jnp.int32),
+        num_pairs=(total - n_dummy).astype(jnp.int32),
         dropped_pairs=dropped,
         truncated=truncated,
         gid_s=gid_s,

@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _expand_kernel(B, C, nb, base_ref, keys_ref, src_ref, out_ref, stage, sem):
+def _expand_kernel(B, C, nb, cols_out, base_ref, keys_ref, src_ref, out_ref,
+                   stage, sem):
     b = pl.program_id(0)
     slot = jax.lax.rem(b, 2)
     # keys arrive as an (8, B) group of block rows (Mosaic requires sublane
@@ -66,13 +67,24 @@ def _expand_kernel(B, C, nb, base_ref, keys_ref, src_ref, out_ref, stage, sem):
     # zero non-finite lanes (rows the one-hot selects pass through untouched)
     win = stage[slot]
     win = jnp.where(jnp.isfinite(win), win, 0.0)
-    res = jax.lax.dot_general(
-        onehot, win,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (B, 128)
-    out_ref[:, :] = res[:, :C]
+    if cols_out:
+        # same contraction with operands swapped -> transposed result, so
+        # the column-major output needs no in-kernel relayout
+        res = jax.lax.dot_general(
+            win, onehot,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (128, B)
+        out_ref[:, :] = res[:C, :]
+    else:
+        res = jax.lax.dot_general(
+            onehot, win,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (B, 128)
+        out_ref[:, :] = res[:, :C]
 
 
 def expand_rows(
@@ -81,6 +93,7 @@ def expand_rows(
     base: jnp.ndarray,
     block: int = 512,
     out_cols: int | None = None,
+    cols_layout: bool = False,
 ) -> jnp.ndarray:
     """Row expansion ``src[keys]`` with zero rows where ``keys < 0``.
 
@@ -96,7 +109,11 @@ def expand_rows(
       base: (ceil(P / block),) int32 window starts (for nondecreasing clean
         keys: clean[b * block]).
       out_cols: columns of the result (default: src's column count).
-    Returns (P, out_cols) float32.
+      cols_layout: return (out_cols, P) column-major instead of
+        (P, out_cols) — a (P, few) output pads its lanes to the 128 tile
+        (14x memory/traffic at 9 columns) while columns are dense; the
+        kernel just swaps the matmul operands.
+    Returns (P, out_cols) float32, or (out_cols, P) when ``cols_layout``.
     """
     P = keys.shape[0]
     S, C = src.shape
@@ -113,7 +130,13 @@ def expand_rows(
     keys2d = jnp.pad(
         keys.reshape(nb, B), ((0, nb8 - nb), (0, 0)), constant_values=-1
     )
-    kernel = functools.partial(_expand_kernel, B, out_cols, nb)
+    kernel = functools.partial(_expand_kernel, B, out_cols, nb, cols_layout)
+    out_spec = (
+        pl.BlockSpec((out_cols, B), lambda b: (0, b), memory_space=pltpu.VMEM)
+        if cols_layout
+        else pl.BlockSpec((B, out_cols), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    )
+    out_sh = (out_cols, P_pad) if cols_layout else (P_pad, out_cols)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -122,13 +145,11 @@ def expand_rows(
             pl.BlockSpec((8, B), lambda b: (b // 8, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM
         ],
-        out_specs=pl.BlockSpec(
-            (B, out_cols), lambda b: (b, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((P_pad, out_cols), jnp.float32),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_sh, jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, B, 128), jnp.float32),  # double-buffered windows
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(base, keys2d, src)
-    return out[:P]
+    return out[:, :P] if cols_layout else out[:P]

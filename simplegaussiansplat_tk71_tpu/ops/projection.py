@@ -15,6 +15,10 @@ Differences from the reference, by TPU design (see SURVEY.md section 7.1):
   the shared math; the default path uses the un-snapped means.
 - Everything is one jit-traceable function over (M cameras, N gaussians); no
   per-image python loop (reference gs_model.py:402-451).
+- Component-major layouts end to end: parameters arrive as (C, N) columns and
+  every output is (M, C, N) — an (N, few) f32 buffer pads its minor dim to
+  the TPU's 128-lane tile (14-42x memory and elementwise traffic, NOTES.md
+  layout tax), while component rows are dense.
 """
 
 from typing import NamedTuple
@@ -23,19 +27,82 @@ import jax
 import jax.numpy as jnp
 
 from simplegaussiansplat_tk71_tpu.ops import transforms
-from simplegaussiansplat_tk71_tpu.ops.sh import eval_sh_packed
 
 
 class ProjectedGaussians(NamedTuple):
-    """Per-(camera, gaussian) screen-space attributes; leading dims (M, N)."""
+    """Per-(camera, gaussian) screen-space attributes, component-major."""
 
-    mean2d: jnp.ndarray  # (M, N, 2) pixel-space means
-    conic: jnp.ndarray  # (M, N, 3) upper-tri of inverse 2D covariance (a, b, c)
+    mean2d: jnp.ndarray  # (M, 2, N) pixel-space means
+    conic: jnp.ndarray  # (M, 3, N) upper-tri of inverse 2D covariance (a, b, c)
     depth: jnp.ndarray  # (M, N) camera-space z
-    color: jnp.ndarray  # (M, N, 3) SH-evaluated radiance
+    color: jnp.ndarray  # (M, 3, N) SH-evaluated radiance
     opacity: jnp.ndarray  # (M, N) sigmoid(logit_opacity)
-    bbox_half: jnp.ndarray  # (M, N, 2) 3-sigma half extents (w, h), pixels
+    bbox_half: jnp.ndarray  # (M, 2, N) 3-sigma half extents (w, h), pixels
     valid: jnp.ndarray  # (M, N) bool: in front of camera & intersects screen
+
+
+# Real SH constants (standard normalization used across 3DGS implementations).
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def _sh_channels(deg, sh, xx, yy, zz):
+    """SH radiance per channel from column-major coefficients.
+
+    sh: (B*3, N) packed basis-major; xx/yy/zz: (M, N) unit view-direction
+    components. Returns 3 (M, N) channels. Same math as ops/sh.eval_sh
+    (reference gs_model.py:335-338 via the de-facto INRIA eval_sh).
+    """
+    assert 0 <= deg <= 3
+
+    def coef(b, c):
+        return sh[3 * b + c][None]  # (1, N)
+
+    out = []
+    for c in range(3):
+        r = _C0 * coef(0, c)
+        if deg >= 1:
+            r = r - _C1 * yy * coef(1, c) + _C1 * zz * coef(2, c) - _C1 * xx * coef(3, c)
+            if deg >= 2:
+                xy, yz, xz = xx * yy, yy * zz, xx * zz
+                x2, y2, z2 = xx * xx, yy * yy, zz * zz
+                r = (
+                    r
+                    + _C2[0] * xy * coef(4, c)
+                    + _C2[1] * yz * coef(5, c)
+                    + _C2[2] * (2.0 * z2 - x2 - y2) * coef(6, c)
+                    + _C2[3] * xz * coef(7, c)
+                    + _C2[4] * (x2 - y2) * coef(8, c)
+                )
+                if deg >= 3:
+                    r = (
+                        r
+                        + _C3[0] * yy * (3.0 * x2 - y2) * coef(9, c)
+                        + _C3[1] * xy * zz * coef(10, c)
+                        + _C3[2] * yy * (4.0 * z2 - x2 - y2) * coef(11, c)
+                        + _C3[3] * zz * (2.0 * z2 - 3.0 * x2 - 3.0 * y2) * coef(12, c)
+                        + _C3[4] * xx * (4.0 * z2 - x2 - y2) * coef(13, c)
+                        + _C3[5] * zz * (x2 - y2) * coef(14, c)
+                        + _C3[6] * xx * (x2 - 3.0 * y2) * coef(15, c)
+                    )
+        out.append(r)
+    return out
 
 
 def project(
@@ -56,13 +123,12 @@ def project(
     """Project N gaussians into M cameras.
 
     Args:
-      mean: (N, 3) world positions.
-      quat: (N, 4) xyzw rotations.
-      log_scale: (N, 3) log scales.
-      logit_opacity: (N, 1) or (N,) logit opacities.
-      sh: (N, B * 3) packed SH coefficients (basis-major, channel-minor),
-        B = (sh_degree+1)^2; a 3-D (N, B, 3) tensor is accepted and
-        flattened (but prefer 2-D — see eval_sh_packed on TPU tile padding).
+      mean: (3, N) world positions, component-major.
+      quat: (4, N) xyzw rotations.
+      log_scale: (3, N) log scales.
+      logit_opacity: (N,) logit opacities.
+      sh: (B * 3, N) packed SH coefficients (basis-major, channel-minor rows),
+        B = (sh_degree+1)^2.
       P: (M, 3, 4) world->camera extrinsics.
       K: (M, 3, 3) intrinsics.
       img_wh: (width, height) static python ints.
@@ -73,10 +139,11 @@ def project(
       alive: optional (N,) bool mask for capacity-padded parameter buffers;
         dead rows are marked invalid.
 
-    Returns ProjectedGaussians with leading shape (M, N).
+    Returns ProjectedGaussians, component-major with leading dim M.
     """
     width, height = int(img_wh[0]), int(img_wh[1])
     M = P.shape[0]
+    N = mean.shape[1]
 
     # All the tiny per-gaussian linear algebra below is written as explicit
     # (M, 1) x (1, N) broadcast arithmetic: batched 3x3 einsums lower to
@@ -87,11 +154,10 @@ def project(
     R_wc = P[:, :, :3]  # (M, 3, 3)
     t_wc = P[:, :, 3]  # (M, 3)
     w = lambda i, j: R_wc[:, i, j][:, None]  # (M, 1)
-    mx, my, mz = mean[:, 0][None], mean[:, 1][None], mean[:, 2][None]  # (1, N)
+    mx, my, mz = mean[0][None], mean[1][None], mean[2][None]  # (1, N)
     cam_x = w(0, 0) * mx + w(0, 1) * my + w(0, 2) * mz + t_wc[:, 0][:, None]
     cam_y = w(1, 0) * mx + w(1, 1) * my + w(1, 2) * mz + t_wc[:, 1][:, None]
     cam_z = w(2, 0) * mx + w(2, 1) * my + w(2, 2) * mz + t_wc[:, 2][:, None]
-    mean_cam = jnp.stack([cam_x, cam_y, cam_z], axis=-1)  # (M, N, 3)
     z = cam_z
 
     # --- camera -> pixel (gs_model.py:293-294) ---
@@ -100,17 +166,20 @@ def project(
     hy = k(1, 0) * cam_x + k(1, 1) * cam_y + k(1, 2) * cam_z
     hz = k(2, 0) * cam_x + k(2, 1) * cam_y + k(2, 2) * cam_z
     inv_hz = 1.0 / jnp.maximum(hz, z_min)
-    mean2d = jnp.stack([hx * inv_hz, hy * inv_hz], axis=-1)
+    px = hx * inv_hz
+    py = hy * inv_hz
     if snap_mean_to_int:
         # Reference parity: pixel means truncated to int32 (gs_model.py:361).
         # In the reference the int cast BREAKS the autograd chain, so position
         # gradients flow only through the covariance/color paths — we
         # reproduce that with stop_gradient. Off by default (the float path
         # keeps sub-pixel position gradients and is strictly better).
-        mean2d = jax.lax.stop_gradient(jnp.trunc(mean2d))
+        px = jax.lax.stop_gradient(jnp.trunc(px))
+        py = jax.lax.stop_gradient(jnp.trunc(py))
+    mean2d = jnp.stack([px, py], axis=1)  # (M, 2, N)
 
     # --- 3D covariance (gs_model.py:297-307), 6 unique components (1, N) ---
-    s3 = transforms.covariance_sym6_from_quat_scale(quat, log_scale)
+    s3 = transforms.covariance_sym6_from_quat_scale_cols(quat, log_scale)
     s3 = {key: val[None] for key, val in zip(
         ["00", "01", "02", "11", "12", "22"], s3
     )}
@@ -151,48 +220,46 @@ def project(
     s00 = j00 * j00 * c00 + 2.0 * j00 * j02 * c02 + j02 * j02 * c22 + eps_diag
     s01 = j00 * j11 * c01 + j00 * j12 * c02 + j02 * j11 * c12 + j02 * j12 * c22
     s11 = j11 * j11 * c11 + 2.0 * j11 * j12 * c12 + j12 * j12 * c22 + eps_diag
-    row0 = jnp.stack([s00, s01], axis=-1)
-    row1 = jnp.stack([s01, s11], axis=-1)
-    sigma2d = jnp.stack([row0, row1], axis=-2)
 
-    # --- conic (inverse 2D covariance, gs_model.py:353) ---
-    inv = transforms.invert_2x2(sigma2d)
-    conic = jnp.stack([inv[..., 0, 0], inv[..., 0, 1], inv[..., 1, 1]], axis=-1)
+    # --- conic (closed-form 2x2 inverse, gs_model.py:353; det + 1e-6 as in
+    # uitility.py:431-463) ---
+    det = s00 * s11 - s01 * s01 + 1e-6
+    inv_det = 1.0 / det
+    conic = jnp.stack(
+        [s11 * inv_det, -s01 * inv_det, s00 * inv_det], axis=1
+    )  # (M, 3, N)
 
-    # --- 3-sigma boxes, clamped (gs_model.py:332,364-365) ---
-    bbox_half = transforms.sigma_bbox_half_extents(sigma2d)
+    # --- 3-sigma boxes, clamped (gs_model.py:332,364-365): sqrt(diag) in
+    # closed form replaces the reference's CPU eigh round trip ---
     bbox_cap = bbox_max_frac * jnp.sqrt(float(width * height))
-    bbox_half = jnp.minimum(bbox_half, bbox_cap)
+    bw = jnp.minimum(3.0 * jnp.sqrt(jnp.abs(s00)), bbox_cap)
+    bh = jnp.minimum(3.0 * jnp.sqrt(jnp.abs(s11)), bbox_cap)
+    bbox_half = jnp.stack([bw, bh], axis=1)  # (M, 2, N)
 
     # --- SH color along -view direction (gs_model.py:335-338) ---
     # Safe normalize: rsqrt(|x|^2 + eps) keeps the gradient finite at x = 0
     # (dead capacity-padding rows can sit exactly at the camera center; a
     # clamped norm has a NaN vjp there).
-    norm_sq = jnp.sum(jnp.square(mean_cam), axis=-1, keepdims=True)
-    view_dir = -mean_cam * jax.lax.rsqrt(norm_sq + 1e-12)
-    if sh.ndim == 3:
-        # compat: callers should pass the packed 2-D layout — a materialized
-        # (N, B, 3) tensor pads to the (8, 128) tile at 42-76x memory
-        sh = sh.reshape(sh.shape[0], -1)
-    color = eval_sh_packed(sh_degree, sh[None], view_dir)  # (M, N, 3)
+    norm_sq = cam_x * cam_x + cam_y * cam_y + cam_z * cam_z
+    inv_norm = jax.lax.rsqrt(norm_sq + 1e-12)
+    xx = -cam_x * inv_norm
+    yy = -cam_y * inv_norm
+    zz = -cam_z * inv_norm
+    color = jnp.stack(_sh_channels(sh_degree, sh, xx, yy, zz), axis=1)
 
     # --- opacity ---
     opacity = jnp.broadcast_to(
-        1.0 / (1.0 + jnp.exp(-logit_opacity.reshape(-1)))[None, :], (M, mean.shape[0])
+        1.0 / (1.0 + jnp.exp(-logit_opacity.reshape(-1)))[None, :], (M, N)
     )
 
     # --- culling (gs_model.py:405-406): z > 0 and box intersects screen ---
-    x0 = mean2d[..., 0] - bbox_half[..., 0]
-    x1 = mean2d[..., 0] + bbox_half[..., 0]
-    y0 = mean2d[..., 1] - bbox_half[..., 1]
-    y1 = mean2d[..., 1] + bbox_half[..., 1]
     valid = (
         (z > 0)
-        & (x0 < width)
-        & (x1 > 0)
-        & (y0 < height)
-        & (y1 > 0)
-        & (bbox_half[..., 0] > 0)
+        & (px - bw < width)
+        & (px + bw > 0)
+        & (py - bh < height)
+        & (py + bh > 0)
+        & (bw > 0)
     )
     if alive is not None:
         valid = valid & alive[None, :]

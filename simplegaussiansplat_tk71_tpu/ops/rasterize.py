@@ -170,6 +170,12 @@ def rasterize_tile_block(
     ntx = -(-width // ts)
     Tb = ids.shape[0]
 
+    # projected attributes arrive component-major (C, N) — see NOTES.md
+    # layout tax; this pure-XLA path gathers rows, so transpose once here
+    mean2d = jnp.swapaxes(mean2d, 0, 1)
+    conic = jnp.swapaxes(conic, 0, 1)
+    color = jnp.swapaxes(color, 0, 1)
+
     tx = tile_indices % ntx
     ty = tile_indices // ntx
     tile_origins = jnp.stack([tx * ts, ty * ts], axis=-1)  # (Tb, 2)
@@ -218,8 +224,9 @@ def rasterize_tiles(
       ids: (T, K) int32 indices into the projected-attribute arrays,
         depth-sorted front-to-back per tile (from ops.binning).
       mask: (T, K) bool validity of each slot.
-      mean2d: (N, 2); conic: (N, 3) packed (a, b, c); color: (N, 3);
-      opacity: (N,) — per-gaussian screen-space attributes for this camera.
+      mean2d: (2, N); conic: (3, N) packed (a, b, c); color: (3, N);
+      opacity: (N,) — per-gaussian screen-space attributes for this camera,
+      component-major (ops/projection layout).
       img_wh: (width, height) static ints; both divisible by tile_size.
       tile_chunk: tiles processed per lax.map step (memory knob; the analog
         of the reference's fragment-budget chunking, gs_model.py:428).

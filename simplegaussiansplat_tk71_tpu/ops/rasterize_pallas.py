@@ -698,8 +698,9 @@ def _composite_pairroute_bwd(
         ::_EXPAND_BLOCK
     ]
     g_packed = expand_rows(
-        sums_raw, key_of_gauss, base, _EXPAND_BLOCK, out_cols=9
-    )
+        sums_raw, key_of_gauss, base, _EXPAND_BLOCK, out_cols=9,
+        cols_layout=True,
+    )  # (9, N) — matches the component-major packed anchor
     # attrs_s/key_s are sort transports of stop-gradient values: None
     # (symbolic zero) cotangents
     return (g_packed, None, None, None, None, None, None)
@@ -741,8 +742,8 @@ def rasterize_tiles_pallas(
     P = ts * ts
 
     packed = jnp.concatenate(
-        [mean2d, conic, opacity[:, None], color], axis=1
-    )  # (N, 9)
+        [mean2d, conic, opacity[None], color], axis=0
+    )  # (9, N) component-major (dense; (N, 9) pads its lanes 14x)
 
     if route is not None:
         assert route.seg_start.shape[0] == T
@@ -756,7 +757,7 @@ def rasterize_tiles_pallas(
         )
     else:
         assert ids.shape[0] == T
-        attrs = _slot_attrs(packed, ids, mask)
+        attrs = _slot_attrs(jnp.swapaxes(packed, 0, 1), ids, mask)
         seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
         out = _composite_pallas(
             attrs, seg_len, None, img_wh, ts, pixel_offset, depth_block, t_eps
@@ -787,9 +788,10 @@ def rasterize_tile_block_pallas(
     composites only its own contiguous tile slice. tile_idx: (Ts,) int32
     global tile ids. Returns (Ts, ts, ts, 3)."""
     ts = tile_size
-    packed = jnp.concatenate(
-        [mean2d, conic, opacity[:, None], color], axis=1
-    )  # (N, 9)
+    packed = jnp.stack(
+        [mean2d[0], mean2d[1], conic[0], conic[1], conic[2], opacity,
+         color[0], color[1], color[2]], axis=1
+    )  # (N, 9) rows for the id-table gather
     attrs = _slot_attrs(packed, ids, mask)
     seg_len = jnp.sum(mask, axis=1).astype(jnp.int32)
     out = _composite_pallas(

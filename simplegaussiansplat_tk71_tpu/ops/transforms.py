@@ -91,6 +91,36 @@ def covariance_sym6_from_quat_scale(q: jnp.ndarray, log_scale: jnp.ndarray):
     return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
 
 
+def covariance_sym6_from_quat_scale_cols(q: jnp.ndarray, log_scale: jnp.ndarray):
+    """covariance_sym6_from_quat_scale for column-major inputs.
+
+    q: (4, N) xyzw, log_scale: (3, N) — the transposed parameter storage
+    (NOTES.md layout tax: (N, few) buffers pad their lanes 14-42x on TPU;
+    component rows are dense). Returns 6 (N,) components.
+    """
+    qn = normalize_quat(jnp.swapaxes(q, 0, 1))
+    # the transpose + stack + slice chain fuses away: every consumer below
+    # reads scalar (N,) components
+    return covariance_sym6_from_quat_scale_pre(qn, jnp.swapaxes(log_scale, 0, 1))
+
+
+def covariance_sym6_from_quat_scale_pre(qn: jnp.ndarray, log_scale: jnp.ndarray):
+    """sym6 covariance from an already-normalized quaternion."""
+    rot = quat_to_rotmat(qn)
+    s2 = jnp.exp(2.0 * log_scale)  # (N, 3)
+    r = lambda i, j: rot[..., i, j]
+    s = lambda j: s2[..., j]
+
+    def sig(i, k):
+        return (
+            r(i, 0) * s(0) * r(k, 0)
+            + r(i, 1) * s(1) * r(k, 1)
+            + r(i, 2) * s(2) * r(k, 2)
+        )
+
+    return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
+
+
 def invert_2x2(m: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Closed-form inverse of (..., 2, 2) with det regularized by +eps.
 

@@ -54,7 +54,7 @@ def make_sharded_train_step(
         dssim = jax.lax.pmean(dssim, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=0)
         visible = jax.lax.psum(aux.visible.astype(jnp.int32), axis_name)
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,

@@ -125,7 +125,7 @@ def make_tile_sharded_train_step(
         grads = jax.lax.pmean(grads, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=0)
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count

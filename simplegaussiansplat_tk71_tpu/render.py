@@ -80,12 +80,10 @@ def render_params(
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
         routed = config.use_pallas and config.pair_grad_route
         packed = (
-            jnp.concatenate(
-                [mean2d, conic, opacity[:, None], color], axis=1
-            )
+            jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
             if routed
             else None
-        )  # (N, 9): the render attrs ride the binning sort (see ops/binning)
+        )  # (9, N): the render attrs ride the binning sort (see ops/binning)
         bins = binning.bin_gaussians(
             mean2d,
             bbox_half,

@@ -92,23 +92,26 @@ def load_reference_pt(directory: str, sh_degree: int = 2):
     quat = get("variance_q.pt")
     log_scale = get("variance_scale.pt")
     logit_op = get("opacity.pt")
-    sh = get("color.pt")  # (N, B, 3) -> packed 2-D (N, B*3)
+    sh = get("color.pt")  # (N, B, 3) -> packed rows (B*3, N)
     sh = sh.reshape(sh.shape[0], -1)
     from simplegaussiansplat_tk71_tpu.models.gaussians import round_capacity
 
     n = mean.shape[0]
     cap = round_capacity(n)
 
-    def pack(x, fill=0.0):
-        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+    def pack_t(x, fill=0.0):
+        # component-major storage (models/gaussians docstring)
+        out = np.full((cap, x.shape[1]), fill, np.float32)
         out[:n] = x
-        return jnp.asarray(out)
+        return jnp.asarray(np.ascontiguousarray(out.T))
 
+    logit_flat = np.zeros((cap,), np.float32)
+    logit_flat[:n] = logit_op.reshape(-1)
     return GaussianModel(
-        mean=pack(mean),
-        quat=pack(quat),
-        log_scale=pack(log_scale, -10.0),
-        logit_opacity=pack(logit_op),
-        sh=pack(sh),
+        mean=pack_t(mean),
+        quat=pack_t(quat),
+        log_scale=pack_t(log_scale, -10.0),
+        logit_opacity=jnp.asarray(logit_flat),
+        sh=pack_t(sh),
         alive=jnp.asarray(np.arange(cap) < n),
     )

@@ -65,7 +65,7 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         # densify stats: accumulated ||dL/dmean|| + visibility counter
         # (param_iter_update, gs_model.py:190-194)
-        gnorm = jnp.linalg.norm(grads["mean"], axis=-1)
+        gnorm = jnp.linalg.norm(grads["mean"], axis=0)
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count + aux.visible.astype(jnp.int32),
@@ -143,9 +143,7 @@ class Trainer:
             quat=jnp.asarray(data["model.quat"]),
             log_scale=jnp.asarray(data["model.log_scale"]),
             logit_opacity=jnp.asarray(data["model.logit_opacity"]),
-            sh=jnp.asarray(data["model.sh"]).reshape(
-                data["model.sh"].shape[0], -1
-            ),
+            sh=jnp.asarray(data["model.sh"]),
             alive=jnp.asarray(data["model.alive"]),
         )
         cap = self.model.capacity

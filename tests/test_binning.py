@@ -2,6 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from simplegaussiansplat_tk71_tpu.ops import binning
+from simplegaussiansplat_tk71_tpu.ops.binning import TileBins
 
 
 def _bins_to_dict(bins, T):
@@ -18,7 +19,7 @@ def test_single_gaussian_single_tile():
     bbox = jnp.array([[2.0, 2.0]])
     depth = jnp.array([1.0])
     valid = jnp.array([True])
-    bins = binning.bin_gaussians(mean2d, bbox, depth, valid, (32, 32), 16, 64, 8)
+    bins = binning.bin_gaussians(mean2d.T, bbox.T, depth, valid, (32, 32), 16, 64, 8)
     d = _bins_to_dict(bins, 4)
     assert d == {0: [0], 1: [], 2: [], 3: []}
     assert int(bins.num_pairs) == 1
@@ -29,7 +30,8 @@ def test_gaussian_spanning_tiles():
     mean2d = jnp.array([[16.0, 16.0]])
     bbox = jnp.array([[3.0, 3.0]])
     bins = binning.bin_gaussians(
-        mean2d, bbox, jnp.array([1.0]), jnp.array([True]), (32, 32), 16, 64, 8
+        mean2d.T, bbox.T, jnp.array([1.0]), jnp.array([True]), (32, 32), 16,
+        64, 8
     )
     d = _bins_to_dict(bins, 4)
     assert d == {0: [0], 1: [0], 2: [0], 3: [0]}
@@ -43,7 +45,7 @@ def test_depth_sorted_within_tile():
     bbox = jnp.full((n, 2), 1.5)
     depth = jnp.asarray(rng.uniform(1, 5, size=(n,)).astype(np.float32))
     valid = jnp.ones(n, bool)
-    bins = binning.bin_gaussians(mean2d, bbox, depth, valid, (32, 32), 16, 512, 32)
+    bins = binning.bin_gaussians(mean2d.T, bbox.T, depth, valid, (32, 32), 16, 512, 32)
     ids = np.asarray(bins.ids)
     mask = np.asarray(bins.mask)
     dd = np.asarray(depth)
@@ -62,7 +64,7 @@ def test_matches_bruteforce_overlap():
     depth = rng.uniform(1, 5, size=(n,)).astype(np.float32)
     valid = rng.uniform(size=n) > 0.2
     bins = binning.bin_gaussians(
-        jnp.asarray(mean2d), jnp.asarray(bbox), jnp.asarray(depth),
+        jnp.asarray(mean2d.T), jnp.asarray(bbox.T), jnp.asarray(depth),
         jnp.asarray(valid), (W, H), ts, 2048, 64,
     )
     ntx = W // ts
@@ -92,9 +94,43 @@ def test_overflow_reported():
     depth = jnp.arange(n, dtype=jnp.float32)
     valid = jnp.ones(n, bool)
     bins = binning.bin_gaussians(
-        mean2d, bbox, depth, valid, (16, 16), 16, max_pairs=64, max_per_tile=8
+        mean2d.T, bbox.T, depth, valid, (16, 16), 16, max_pairs=64,
+        max_per_tile=8
     )
     assert int(bins.truncated) == n - 8
     # the kept 8 are the nearest by depth
     ids = np.asarray(bins.ids[0][np.asarray(bins.mask[0])])
     assert set(ids) == set(range(8))
+
+
+def test_expand_transport_matches_gather():
+    """The pallas expand transport (dummy-pair construction) must reproduce
+    the XLA gather transport exactly, including sort-carried attrs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    n = 300
+    mean2d = jnp.asarray(rng.uniform(0, 64, (2, n)).astype(np.float32) * [[1], [1]])
+    bbox = jnp.asarray(rng.uniform(0.5, 12, (2, n)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.1, 9, n).astype(np.float32))
+    valid = jnp.asarray(rng.random(n) < 0.8)
+    attrs = jnp.asarray(rng.normal(size=(9, n)).astype(np.float32))
+    kw = dict(
+        img_wh=(64, 64), tile_size=16, max_pairs=2048, max_per_tile=32,
+        build_table=True, attrs=attrs,
+    )
+    ref = binning.bin_gaussians(
+        mean2d, bbox, depth, valid, expand_transport=False, **kw
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = binning.bin_gaussians(
+            mean2d, bbox, depth, valid, expand_transport=True, **kw
+        )
+    for name in TileBins._fields:
+        a, b = getattr(ref, name), getattr(got, name)
+        if a is None:
+            assert b is None, name
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )

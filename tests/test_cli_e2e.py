@@ -33,7 +33,7 @@ def _write_colmap_scene(root, W=64, H=48, n=60, n_cams=6, seed=0):
     xyz[:, 2] += 4.0
     gt = init_from_points(xyz, np.full(n, 0.15, np.float32), capacity=64)
     sh = np.array(gt.sh)
-    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[0:3, :n] = rng.uniform(0.5, 3.0, size=(n, 3)).T
     gt = gt._replace(sh=jnp.asarray(sh))
 
     # cameras.bin: single PINHOLE camera

@@ -40,7 +40,7 @@ def test_split_large_high_grad():
     # 2 split into 2 children each: originals removed -> 10 - 2 + 4 = 12
     assert info["split"] == 2 and info["alive"] == 12
     # children (last 4 alive rows) scale = log(scale / (0.8 * 2))
-    ls = np.asarray(new.log_scale)[np.asarray(new.alive)]
+    ls = np.asarray(new.log_scale).T[np.asarray(new.alive)]
     np.testing.assert_allclose(np.exp(ls[-4:]), 0.5 / 1.6, rtol=1e-4)
     np.testing.assert_allclose(np.exp(ls[:8]), 0.5, rtol=1e-4)
 
@@ -50,7 +50,7 @@ def test_prune_transparent_and_huge():
     lo = np.array(model.logit_opacity)
     lo[0] = -10.0  # sigmoid ~ 4.5e-5 < 0.005
     ls = np.array(model.log_scale)
-    ls[1] = np.log(5.0)  # > 0.1 * extent(=10) -> pruned
+    ls[:, 1] = np.log(5.0)  # > 0.1 * extent(=10) -> pruned
     model = model._replace(
         logit_opacity=jnp.asarray(lo), log_scale=jnp.asarray(ls)
     )

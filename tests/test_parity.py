@@ -24,15 +24,15 @@ def test_reference_sampling_parity():
     mean[:, 2] += 4.0
     quat = rng.normal(size=(n, 4)).astype(np.float32)
     log_scale = (rng.normal(size=(n, 3)) * 0.2 - 1.3).astype(np.float32)
-    logit_op = rng.uniform(-1, 1, size=(n, 1)).astype(np.float32)
-    sh = np.zeros((n, 9, 3), np.float32)
-    sh[:, 0] = rng.uniform(0.5, 3.0, size=(n, 3))  # 3-D sh: project() flattens
+    logit_op = rng.uniform(-1, 1, size=(n,)).astype(np.float32)
+    sh = np.zeros((27, n), np.float32)
+    sh[0:3] = rng.uniform(0.5, 3.0, size=(n, 3)).T
     f = 40.0
     P = np.eye(3, 4, dtype=np.float32)
     K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
 
     proj = projection.project(
-        jnp.asarray(mean), jnp.asarray(quat), jnp.asarray(log_scale),
+        jnp.asarray(mean.T), jnp.asarray(quat.T), jnp.asarray(log_scale.T),
         jnp.asarray(logit_op), jnp.asarray(sh),
         jnp.asarray(P)[None], jnp.asarray(K)[None], (W, H),
         snap_mean_to_int=True,
@@ -52,8 +52,8 @@ def test_reference_sampling_parity():
         log_scale.astype(np.float64), P.astype(np.float64), K.astype(np.float64),
     )
     mean2d_snapped = np.trunc(pr["mean2d"])
-    opac = 1 / (1 + np.exp(-logit_op[:, 0].astype(np.float64)))
-    color = np.asarray(proj.color[0], np.float64)
+    opac = 1 / (1 + np.exp(-logit_op.astype(np.float64)))
+    color = np.asarray(proj.color[0], np.float64).T
     ref = composite_oracle(
         mean2d_snapped, pr["conic"], color, opac, pr["depth"], W, H,
         pixel_offset=1.0,
@@ -64,11 +64,11 @@ def test_reference_sampling_parity():
 def test_snap_blocks_position_gradient():
     """In parity mode, dL/dmean2d through the position path is zero
     (the reference's int cast severs autograd — gs_model.py:361)."""
-    mean = jnp.asarray([[0.1, -0.2, 4.0]])
-    quat = jnp.asarray([[0.0, 0, 0, 1]])
-    ls = jnp.full((1, 3), -1.0)
-    lo = jnp.zeros((1, 1))
-    sh = jnp.zeros((1, 9, 3)).at[:, 0].set(1.0)
+    mean = jnp.asarray([[0.1], [-0.2], [4.0]])
+    quat = jnp.asarray([[0.0], [0], [0], [1]])
+    ls = jnp.full((3, 1), -1.0)
+    lo = jnp.zeros((1,))
+    sh = jnp.zeros((27, 1)).at[0:3].set(1.0)
     P = jnp.eye(3, 4)[None]
     K = jnp.asarray([[[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]]])
 

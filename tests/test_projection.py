@@ -25,13 +25,14 @@ def test_projection_matches_oracle():
     mean[:, 2] += 5.0  # mostly in front
     quat = rng.normal(size=(n, 4)).astype(np.float32)
     log_scale = (rng.normal(size=(n, 3)) * 0.3 - 2.0).astype(np.float32)
-    logit_op = rng.normal(size=(n, 1)).astype(np.float32)
-    sh = rng.normal(size=(n, 9, 3)).astype(np.float32) * 0.3
+    logit_op = rng.normal(size=(n,)).astype(np.float32)
+    sh = rng.normal(size=(27, n)).astype(np.float32) * 0.3
     P, K = _random_cam(rng)
     W, H = 64, 48
 
+    # project() consumes component-major (C, N) parameters
     proj = projection.project(
-        jnp.asarray(mean), jnp.asarray(quat), jnp.asarray(log_scale),
+        jnp.asarray(mean.T), jnp.asarray(quat.T), jnp.asarray(log_scale.T),
         jnp.asarray(logit_op), jnp.asarray(sh),
         jnp.asarray(P)[None], jnp.asarray(K)[None], (W, H),
     )
@@ -43,15 +44,15 @@ def test_projection_matches_oracle():
         np.asarray(proj.depth[0]), ref["depth"], rtol=1e-4, atol=1e-4
     )
     np.testing.assert_allclose(
-        np.asarray(proj.mean2d[0]), ref["mean2d"], rtol=1e-3, atol=1e-2
+        np.asarray(proj.mean2d[0]).T, ref["mean2d"], rtol=1e-3, atol=1e-2
     )
     np.testing.assert_allclose(
-        np.asarray(proj.conic[0]), ref["conic"], rtol=2e-3, atol=1e-3
+        np.asarray(proj.conic[0]).T, ref["conic"], rtol=2e-3, atol=1e-3
     )
     # opacity
     np.testing.assert_allclose(
         np.asarray(proj.opacity[0]),
-        1 / (1 + np.exp(-logit_op[:, 0])),
+        1 / (1 + np.exp(-logit_op)),
         rtol=1e-5,
     )
     # bbox from sigma2d diag
@@ -60,16 +61,16 @@ def test_projection_matches_oracle():
     )))
     ref_box = np.minimum(ref_box, 0.4 * np.sqrt(W * H))
     np.testing.assert_allclose(
-        np.asarray(proj.bbox_half[0]), ref_box, rtol=2e-3, atol=1e-3
+        np.asarray(proj.bbox_half[0]).T, ref_box, rtol=2e-3, atol=1e-3
     )
 
 
 def test_behind_camera_culled():
-    mean = jnp.array([[0.0, 0.0, -5.0], [0.0, 0.0, 5.0]])
-    quat = jnp.tile(jnp.array([[0.0, 0, 0, 1]]), (2, 1))
-    ls = jnp.full((2, 3), -1.0)
-    lo = jnp.zeros((2, 1))
-    sh = jnp.zeros((2, 9, 3))
+    mean = jnp.array([[0.0, 0.0, -5.0], [0.0, 0.0, 5.0]]).T
+    quat = jnp.tile(jnp.array([[0.0, 0, 0, 1]]), (2, 1)).T
+    ls = jnp.full((3, 2), -1.0)
+    lo = jnp.zeros((2,))
+    sh = jnp.zeros((27, 2))
     P = jnp.eye(3, 4)[None]
     K = jnp.asarray([[[50.0, 0, 32], [0, 50, 32], [0, 0, 1]]])
     proj = projection.project(mean, quat, ls, lo, sh, P, K, (64, 64))
@@ -78,11 +79,11 @@ def test_behind_camera_culled():
 
 
 def test_alive_mask_respected():
-    mean = jnp.tile(jnp.array([[0.0, 0.0, 5.0]]), (3, 1))
-    quat = jnp.tile(jnp.array([[0.0, 0, 0, 1]]), (3, 1))
+    mean = jnp.tile(jnp.array([[0.0], [0.0], [5.0]]), (1, 3))
+    quat = jnp.tile(jnp.array([[0.0], [0], [0], [1]]), (1, 3))
     ls = jnp.full((3, 3), -1.0)
-    lo = jnp.zeros((3, 1))
-    sh = jnp.zeros((3, 9, 3))
+    lo = jnp.zeros((3,))
+    sh = jnp.zeros((27, 3))
     P = jnp.eye(3, 4)[None]
     K = jnp.asarray([[[50.0, 0, 32], [0, 50, 32], [0, 0, 1]]])
     alive = jnp.array([True, False, True])

@@ -38,8 +38,9 @@ def test_forward_matches_oracle():
     mean2d, conic, color, opacity, depth = _random_scene(n, W, H)
     ids, mask = _full_coverage_bins(n, W, H, 16, depth)
     img = rasterize.rasterize_tiles(
-        ids, mask, jnp.asarray(mean2d), jnp.asarray(conic), jnp.asarray(color),
-        jnp.asarray(opacity), (W, H), tile_size=16, tile_chunk=2,
+        ids, mask, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+        jnp.asarray(color.T), jnp.asarray(opacity), (W, H), tile_size=16,
+        tile_chunk=2,
     )
     ref = composite_oracle(
         mean2d.astype(np.float64), conic.astype(np.float64),
@@ -120,14 +121,14 @@ def test_masked_slots_do_not_contribute():
     # mask out the last 3 gaussians vs. physically removing them
     mask_partial = jnp.asarray((np.arange(n) < n - 3)[None])
     img_masked = rasterize.rasterize_tiles(
-        ids, mask_partial, jnp.asarray(mean2d), jnp.asarray(conic),
-        jnp.asarray(color), jnp.asarray(opacity), (W, H), tile_size=16,
+        ids, mask_partial, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+        jnp.asarray(color.T), jnp.asarray(opacity), (W, H), tile_size=16,
     )
     keep = order[: n - 3]
     ids2 = jnp.asarray(np.arange(n - 3, dtype=np.int32)[None])
     img_removed = rasterize.rasterize_tiles(
-        ids2, jnp.ones((1, n - 3), bool), jnp.asarray(mean2d[keep]),
-        jnp.asarray(conic[keep]), jnp.asarray(color[keep]),
+        ids2, jnp.ones((1, n - 3), bool), jnp.asarray(mean2d[keep].T),
+        jnp.asarray(conic[keep].T), jnp.asarray(color[keep].T),
         jnp.asarray(opacity[keep]), (W, H), tile_size=16,
     )
     np.testing.assert_allclose(

@@ -36,8 +36,8 @@ def test_pallas_forward_matches_jnp():
     mean2d, conic, color, opacity, depth = _random_scene(n, W, H, seed=11)
     ids, mask = _bins(n, 4, depth, 128)
     args = (
-        ids, mask, jnp.asarray(mean2d), jnp.asarray(conic),
-        jnp.asarray(color), jnp.asarray(opacity),
+        ids, mask, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+        jnp.asarray(color.T), jnp.asarray(opacity),
     )
     ref = rasterize.rasterize_tiles(*args, (W, H), tile_size=16, tile_chunk=4)
     got = rasterize_tiles_pallas(*args, (W, H), tile_size=16)
@@ -62,7 +62,7 @@ def test_pallas_backward_matches_jnp():
         return jnp.sum(img * key)
 
     args = (
-        jnp.asarray(mean2d), jnp.asarray(conic), jnp.asarray(color),
+        jnp.asarray(mean2d.T), jnp.asarray(conic.T), jnp.asarray(color.T),
         jnp.asarray(opacity),
     )
     gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
@@ -84,8 +84,8 @@ def test_pallas_masked_slots_zero_grads():
 
     def loss(op):
         img = rasterize_tiles_pallas(
-            ids, mask, jnp.asarray(mean2d), jnp.asarray(conic),
-            jnp.asarray(color), op, (W, H), 16
+            ids, mask, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+            jnp.asarray(color.T), op, (W, H), 16
         )
         return jnp.sum(img)
 
@@ -103,8 +103,8 @@ def test_pallas_odd_image_size_matches_jnp():
     ntx, nty = -(-W // 16), -(-H // 16)
     ids, mask = _bins(n, ntx * nty, depth, 64)
     args = (
-        ids, mask, jnp.asarray(mean2d), jnp.asarray(conic),
-        jnp.asarray(color), jnp.asarray(opacity),
+        ids, mask, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+        jnp.asarray(color.T), jnp.asarray(opacity),
     )
     ref = rasterize.rasterize_tiles(*args, (W, H), tile_size=16, tile_chunk=2)
     got = rasterize_tiles_pallas(*args, (W, H), tile_size=16)

@@ -24,8 +24,8 @@ def _setup(seed, n=40, W=32, H=32, K=64):
     mean2d, conic, color, opacity, depth = _random_scene(n, W, H, seed=seed)
     ids, mask = _bins(n, (W // 16) * (H // 16), depth, K)
     args = (
-        ids, mask, jnp.asarray(mean2d), jnp.asarray(conic),
-        jnp.asarray(color), jnp.asarray(opacity),
+        ids, mask, jnp.asarray(mean2d.T), jnp.asarray(conic.T),
+        jnp.asarray(color.T), jnp.asarray(opacity),
     )
     return args, (W, H)
 

@@ -16,13 +16,13 @@ def _scene(n=40, seed=0):
     model = init_from_points(xyz, knn, capacity=64)
     # vary colors and opacities
     sh = np.array(model.sh)
-    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
-    quat = rng.normal(size=(64, 4)).astype(np.float32)
+    sh[0:3, :n] = rng.uniform(0.5, 3.0, size=(n, 3)).T
+    quat = rng.normal(size=(4, 64)).astype(np.float32)
     model = model._replace(
         sh=jnp.asarray(sh),
         quat=jnp.asarray(quat),
         logit_opacity=jnp.asarray(
-            rng.uniform(-1, 1, size=(64, 1)).astype(np.float32)
+            rng.uniform(-1, 1, size=(64,)).astype(np.float32)
         ),
     )
     W, H = 64, 48
@@ -41,16 +41,16 @@ def test_render_matches_oracle_end_to_end():
 
     # oracle: project in float64, composite only the valid gaussians
     m = {k: np.asarray(v, np.float64) for k, v in model.trainable().items()}
-    pr = project_oracle(m["mean"][:n], m["quat"][:n], m["log_scale"][:n],
+    pr = project_oracle(m["mean"].T[:n], m["quat"].T[:n], m["log_scale"].T[:n],
                         np.asarray(P[0], np.float64), np.asarray(K[0], np.float64))
-    opac = 1 / (1 + np.exp(-m["logit_opacity"][:n, 0]))
+    opac = 1 / (1 + np.exp(-m["logit_opacity"][:n]))
     # colors: deg-2 SH of the actual view dir — reuse the jax SH via projection
     from simplegaussiansplat_tk71_tpu.ops import projection as proj_mod
     pj = proj_mod.project(
         model.mean, model.quat, model.log_scale, model.logit_opacity, model.sh,
         P, K, wh, alive=model.alive,
     )
-    color = np.asarray(pj.color[0], np.float64)[:n]
+    color = np.asarray(pj.color[0], np.float64).T[:n]
     # NOTE oracle composites every gaussian at every pixel with no 3-sigma box
     # cutoff, while the renderer only composites within tile-binned boxes.
     # With these small scales the truncated tail is < 1e-3 of the image.
@@ -72,10 +72,11 @@ def test_render_gradients_flow():
     grads = jax.grad(loss_fn)(model.trainable())
     for name in ["mean", "quat", "log_scale", "logit_opacity", "sh"]:
         g = np.asarray(grads[name])
+        g = g if g.ndim == 1 else g.T  # params are component-major (C, N)
         assert np.isfinite(g).all(), name
         assert np.abs(g[:n]).max() > 0, f"no gradient signal for {name}"
     # dead capacity rows must receive zero gradient
-    assert np.abs(np.asarray(grads["mean"])[n:]).max() == 0
+    assert np.abs(np.asarray(grads["mean"]).T[n:]).max() == 0
 
 
 def test_render_under_jit_and_consistent():

@@ -24,7 +24,7 @@ def _synthetic_scene(n=30, n_cams=4, W=48, H=32, seed=0, gauss_scale=0.25,
     xyz[:, 2] += 4.0
     gt = init_from_points(xyz, np.full(n, gauss_scale, np.float32), capacity=64)
     sh = np.array(gt.sh)
-    sh[:n, 0:3] = rng.uniform(0.5, 3.0, size=(n, 3))
+    sh[0:3, :n] = rng.uniform(0.5, 3.0, size=(n, 3)).T
     gt = gt._replace(sh=jnp.asarray(sh))
 
     f = 55.0
@@ -146,10 +146,10 @@ def test_load_reference_pt(tmp_path):
     model = load_reference_pt(str(tmp_path))
     assert int(model.num_alive()) == n
     np.testing.assert_allclose(
-        np.asarray(model.mean[:n]), files["mean.pt"], rtol=1e-6
+        np.asarray(model.mean[:, :n]).T, files["mean.pt"], rtol=1e-6
     )
     np.testing.assert_allclose(
-        np.asarray(model.sh[:n]),
+        np.asarray(model.sh[:, :n]).T,
         files["color.pt"].reshape(n, -1),
         rtol=1e-6,
     )
