@@ -112,8 +112,8 @@ def main():
     )
 
     packed = jnp.concatenate(
-        [m2, proj.conic[0], proj.opacity[0][:, None], proj.color[0]], axis=1
-    )  # (N, 9)
+        [m2, proj.conic[0], proj.opacity[0][None], proj.color[0]], axis=0
+    )  # (9, N) component-major
 
     # --- binning (routed: attrs + segment key ride the sort) ---
     def bins_fn(m2, bb, dp, vl, c):
@@ -171,7 +171,7 @@ def main():
         g = jax.grad(lf, argnums=(0, 1, 2, 3))(
             m2 + (c % 2).astype(jnp.float32), conic, color, op
         )
-        return g[0][12345, 0].astype(jnp.int32) + c
+        return g[0][0, 12345].astype(jnp.int32) + c
 
     bench(
         "raster_fwdbwd_routed", raster_fwdbwd,
