@@ -60,9 +60,9 @@ def main():
         )
     )(params)
     packed = jnp.concatenate(
-        [proj.mean2d[0], proj.conic[0], proj.opacity[0][:, None],
-         proj.color[0]], axis=1,
-    )  # (N, 9)
+        [proj.mean2d[0], proj.conic[0], proj.opacity[0][None],
+         proj.color[0]], axis=0,
+    )  # (9, N) component-major
     bins = jax.jit(
         lambda m2, bb, dp, vl, pk: binning.bin_gaussians(
             m2, bb, dp, vl, (W, H), tile_size=ts, max_pairs=max_pairs,

@@ -13,11 +13,13 @@ pairs):
   1. per-gaussian covered tile spans straight from the projected boxes —
      gaussian-major, NO global depth argsort (the reference's z-argsort,
      gs_model.py:356-365, is replaced by the pair sort's depth key);
-  2. owner lookup (pair j -> gaussian g): histogram of the count-cumsum +
-     int cumsum (~9.5 ms, vs ~74 ms sort-merge searchsorted);
-  3. one packed row gather of everything pair expansion needs, INCLUDING the
-     9 bitcast render-attr columns when ``attrs`` is given (row gathers are
-     latency-bound: 6 vs 15 int32 columns measure the same);
+  2+3. owner lookup (pair j -> gaussian g) FUSED into the per-pair
+     transport (ops/expand.expand_spans): the count-cumsum columns ride the
+     one-hot window and membership (off[g] <= j < cum[g]) is tested
+     in-kernel, so no owner array / histogram / P-length cumsum exists;
+     window starts come from ~P/256 binary searches on the cumsum. All
+     per-pair metadata AND the 9 render-attr columns transport through the
+     same one-hot MXU matmul;
   4. one 2-key sort by (tile id, depth bits) carrying the attr columns and
      the gradient segment key as payloads (bitcast of a positive float is
      monotone, so depth order inside every tile is exact; 9 extra f32
@@ -137,55 +139,71 @@ def bin_gaussians(
     # form a prefix [0, n_live) as ops/segsum requires.
     vid = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32)) - 1, 0)
 
-    # --- 2. owner of pair j = first g with cum[g] > j = #{g : cum[g] <= j}.
-    # Because the queries are just arange(P), that count is the cumsum of a
-    # histogram of the cum values — one 1-D scatter-add + one int cumsum.
+    # --- 2+3. owner lookup FUSED into the per-pair transport
+    # (ops/expand.expand_spans): the exclusive/inclusive count-cumsum
+    # columns ride the DMA window and the one-hot membership test
+    # off[g] <= j < cum[g] runs in-kernel — no owner array, histogram
+    # scatter, or P-length cumsum is materialized. Everything is
+    # transported as f32 through the one-hot matmul: small ints (tile
+    # coords, spans, gaussian index, vid) are exact below 2^24; the cumsum
+    # columns are clamped to P + 1 first (rows whose pairs all overflow the
+    # capacity never own an output, so the clamp is semantics-preserving
+    # and keeps them f32-exact even when the true total exceeds 2^24);
+    # depth rides as raw f32 (exact) and is bitcast to a monotone int32
+    # sort key afterwards.
+    from simplegaussiansplat_tk71_tpu.ops.expand import expand_spans
+
     cum = jnp.cumsum(counts)  # inclusive
     total = cum[-1]
     offsets = cum - counts  # exclusive
     j = jnp.arange(P, dtype=jnp.int32)
-    hist = jnp.zeros((P,), jnp.int32).at[jnp.minimum(cum, P - 1)].add(
-        1, mode="drop"
-    )
-    g = jnp.minimum(jnp.cumsum(hist), N - 1)
-
-    # --- 3. per-pair metadata + render attrs via one ops/expand call.
-    # Everything is transported as f32 through the one-hot matmul: small
-    # ints (tile coords, spans, offsets <= max_pairs, vid) are exact below
-    # 2^24; depth rides as raw f32 (exact) and is bitcast to a monotone
-    # int32 sort key afterwards.
-    from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
-
     assert P < (1 << 24), "offsets must stay f32-exact through ops/expand"
+    assert N < (1 << 24), "gaussian index must stay f32-exact"
+    cum_c = jnp.minimum(cum, P + 1)
+    off_c = jnp.minimum(offsets, P + 1)
     A = 0
     cols = [
         tx0.astype(jnp.float32),
         ty0.astype(jnp.float32),
         span_w.astype(jnp.float32),
-        offsets.astype(jnp.float32),
+        off_c.astype(jnp.float32),
         jnp.maximum(depth, 0.0).astype(jnp.float32),
         vid.astype(jnp.float32),
+        cum_c.astype(jnp.float32),
+        jnp.arange(N, dtype=jnp.float32),  # gaussian index payload
     ]
     if attrs is not None:
         attrs = jax.lax.stop_gradient(attrs)
         A = attrs.shape[0]
         cols += [attrs[a] for a in range(A)]
-    src = jnp.stack(cols, axis=1)  # (N, 6 + A)
+    src = jnp.stack(cols, axis=1)  # (N, 8 + A)
     if expand_transport is None:
         expand_transport = jax.default_backend() == "tpu"
     if expand_transport:
-        EB = 128
+        EB = 256
         nb = -(-P // EB)
-        base = jnp.pad(g, (0, nb * EB - P), mode="edge")[::EB]
-        # window reads reach [base, base + EB): row-pad the source
-        src_p = jnp.pad(src, ((0, EB), (0, 0)))
-        rowsT = expand_rows(src_p, g, base, EB, cols_layout=True)  # (6+A, P)
+        starts = jnp.arange(nb, dtype=jnp.int32) * EB
+        # owner of output j0 = #{g : cum[g] <= j0}; ~P/EB binary searches
+        base = jnp.searchsorted(cum_c, starts, side="right").astype(
+            jnp.int32
+        )
+        src_p = jnp.pad(src, ((0, EB + 8), (0, 0)))
+        rowsT = expand_spans(src_p, base, P, EB)  # (8+A, P)
         col_p = lambda i: rowsT[i]
     else:
-        rows = src[g]  # (P, 6 + A) row gather (CPU / non-pallas fallback)
+        # CPU fallback: materialize the same membership test as owner array
+        # g = cumsum(histogram(cum)) + row gather; unmatched outputs
+        # (j >= total) get zero rows exactly like the kernel's no-match
+        # columns.
+        hist = jnp.zeros((P,), jnp.int32).at[jnp.minimum(cum, P - 1)].add(
+            1, mode="drop"
+        )
+        g = jnp.minimum(jnp.cumsum(hist), N - 1)
+        rows = jnp.where((j < total)[:, None], src[g], 0.0)
         col_p = lambda i: rows[:, i]
+    # zero (no-match) rows decode to span 0: guard the int div/mod
+    span_w_p = jnp.maximum(col_p(2).astype(jnp.int32), 1)
     local = j - col_p(3).astype(jnp.int32)
-    span_w_p = col_p(2).astype(jnp.int32)
     lx = local % span_w_p
     ly = local // span_w_p
     tile = (col_p(1).astype(jnp.int32) + ly) * ntx + col_p(0).astype(
@@ -195,11 +213,12 @@ def bin_gaussians(
     tile = jnp.where(pair_valid & (tile < T), tile, T).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(col_p(4), jnp.int32)
     key_pair = col_p(5).astype(jnp.int32)
+    gid = col_p(7).astype(jnp.int32)
 
     # --- 4. 2-key sort by (tile, depth); owner id, segment key and attr
     # columns ride along as payloads (near-free: see module docstring) ---
-    operands = (tile, depth_bits, g, key_pair) + tuple(
-        jax.lax.bitcast_convert_type(col_p(6 + a), jnp.int32)
+    operands = (tile, depth_bits, gid, key_pair) + tuple(
+        jax.lax.bitcast_convert_type(col_p(8 + a), jnp.int32)
         for a in range(A)
     )
     out = jax.lax.sort(operands, num_keys=2)

@@ -87,6 +87,107 @@ def _expand_kernel(B, C, nb, cols_out, base_ref, keys_ref, src_ref, out_ref,
         out_ref[:, :] = res[:, :C]
 
 
+def _span_expand_kernel(B, W, C, nb, off_col, cum_col, base_ref, src_ref,
+                        out_ref, stage, sem):
+    b = pl.program_id(0)
+    slot = jax.lax.rem(b, 2)
+
+    @pl.when(b == 0)
+    def _():
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(base_ref[0], W), :], stage.at[0], sem.at[0]
+        ).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        nxt = jax.lax.rem(b + 1, 2)
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(base_ref[b + 1], W), :], stage.at[nxt],
+            sem.at[nxt],
+        ).start()
+
+    pltpu.make_async_copy(
+        src_ref.at[pl.ds(base_ref[b], W), :], stage.at[slot], sem.at[slot]
+    ).wait()
+    win = stage[slot]  # (W, 128)
+    # owner membership straight from the exclusive/inclusive count-cumsum
+    # columns riding the window (both pre-clamped f32-exact by the caller):
+    # row w owns output j iff off_w <= j < cum_w. No keys array exists.
+    j = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, B), 1) + b * B
+    ).astype(jnp.float32)
+    off_w = win[:, off_col][:, None]
+    cum_w = win[:, cum_col][:, None]
+    onehot = ((off_w <= j) & (j < cum_w)).astype(jnp.float32)  # (W, B)
+    res = jax.lax.dot_general(
+        win, onehot,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (128, B) column-major output block
+    out_ref[:, :] = res[:C, :]
+
+
+def expand_spans(
+    src: jnp.ndarray,
+    base: jnp.ndarray,
+    num_out: int,
+    block: int = 256,
+    out_cols: int | None = None,
+    off_col: int = 3,
+    cum_col: int = 6,
+) -> jnp.ndarray:
+    """Span expansion: ``out[:, j] = src[g(j), :]`` where ``g(j)`` is the
+    unique row with ``src[g, off_col] <= j < src[g, cum_col]`` (the owner
+    lookup of ops/binning pair expansion), zero column where no row matches.
+
+    Fuses the owner lookup INTO the one-hot expansion: the membership test
+    runs on the count-cumsum columns riding the DMA window, so no owner
+    array, histogram scatter, or P-length cumsum is ever materialized
+    (replaces ~9.5 ms of hist + int cumsum at bench scale with in-kernel
+    compares).
+
+    Args:
+      src: (S, C) f32 rows; off/cum columns must be nondecreasing integers
+        clamped below 2**24 (f32-exact compares), and S must cover every
+        window read [base[b], base[b] + block + 8).
+      base: (ceil(num_out / block),) int32 = owner of output b * block
+        (searchsorted(cum, starts, 'right'); owners advance at most 1 per
+        output, so the window [base, base + block + 8) covers the block).
+      num_out: P, number of output columns.
+    Returns (out_cols, P) f32, column-major.
+    """
+    S, C = src.shape
+    if out_cols is None:
+        out_cols = C
+    if C != 128:
+        src = jnp.pad(src, ((0, 0), (0, 128 - C)))
+    B = block
+    W = B + 8
+    nb = -(-num_out // B)
+    P_pad = nb * B
+    kernel = functools.partial(
+        _span_expand_kernel, B, W, out_cols, nb, off_col, cum_col
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # base, full (nb,)
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (out_cols, B), lambda b: (0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_cols, P_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, 128), jnp.float32),  # double-buffered windows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(base, src)
+    return out[:, :num_out]
+
+
 def expand_rows(
     src: jnp.ndarray,
     keys: jnp.ndarray,

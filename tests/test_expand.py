@@ -64,6 +64,36 @@ def test_expand_all_masked_block():
     np.testing.assert_array_equal(out, np.zeros((256, 4), np.float32))
 
 
+def test_expand_spans_matches_owner_gather():
+    """expand_spans (fused owner lookup) == src[owner(j)] with zero columns
+    for unmatched outputs."""
+    from simplegaussiansplat_tk71_tpu.ops.expand import expand_spans
+
+    rng = np.random.default_rng(3)
+    N, B = 500, 256
+    counts = rng.integers(1, 9, size=N).astype(np.int64)
+    cum = np.cumsum(counts)
+    off = cum - counts
+    total = int(cum[-1])
+    P = total + 137  # outputs past total must be zero columns
+    src = rng.normal(size=(N, 12)).astype(np.float32)
+    src[:, 3] = np.minimum(off, P + 1)
+    src[:, 6] = np.minimum(cum, P + 1)
+    starts = np.arange(-(-P // B), dtype=np.int64) * B
+    base = np.searchsorted(cum, starts, side="right").astype(np.int32)
+    src_p = np.pad(src, ((0, B + 8), (0, 0)))
+    out = np.asarray(
+        expand_spans(jnp.asarray(src_p), jnp.asarray(base), P, B)
+    )
+    owner = np.searchsorted(cum, np.arange(P), side="right")
+    ref = np.where(
+        (np.arange(P) < total)[:, None],
+        src_p[np.minimum(owner, N - 1)],
+        0.0,
+    ).T
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_expand_unpadded_tail():
     rng = np.random.default_rng(2)
     src = rng.normal(size=(64, 4)).astype(np.float32)
