@@ -101,7 +101,6 @@ def main():
     float(cal(jnp.int32(1), depth))
     overhead[0] = (time.time() - t0) * 1e3
     log(f"fetch overhead: {overhead[0]:.1f} ms")
-    overhead[0] = 0.0  # per-stage numbers keep the constant; full has it too
 
     # --- spans + cumsum + src stack (per-gaussian work) ---
     def s_spans(c, mean2d, bbox_half, depth, valid):
@@ -157,7 +156,7 @@ def main():
         cum_c.astype(jnp.float32), jnp.arange(N, dtype=jnp.float32),
     ] + [attrs[a] for a in range(9)]
     src = jnp.stack(cols, axis=1)
-    src_p = jnp.pad(src, ((0, EB + 8), (0, 0)))
+    src_p = jnp.pad(src, ((0, EB * 8 + 8), (0, 0)))
 
     # --- fused span-expansion transport (17 columns) ---
     def s_expand(c, src_p, base):

@@ -70,7 +70,9 @@ def main():
         )
     )(proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0], packed)
     Pn = bins.gid_s.shape[0]
+    N = bins.key_of_gauss.shape[0]  # capacity may round up
     K = Kmax
+    only_route = bool(os.environ.get("SGS_ONLY_ROUTE"))
 
     overhead = [0.0]
 
@@ -113,11 +115,12 @@ def main():
         )
         return tap(out) + c
 
-    bench(
-        "pair_table",
-        wt,
-        (bins.attrs_s, bins.key_s, bins.seg_start, bins.seg_len),
-    )
+    if not only_route:
+        bench(
+            "pair_table",
+            wt,
+            (bins.attrs_s, bins.key_s, bins.seg_start, bins.seg_len),
+        )
     attrs = jax.jit(
         lambda a_s, ks, ss, sl: rp._pair_table(a_s, ks, ss, sl, K)
     )(bins.attrs_s, bins.key_s, bins.seg_start, bins.seg_len)
@@ -131,7 +134,8 @@ def main():
         )
         return tap(out) + c
 
-    bench("composite_fwd", cf, (attrs, seg_len_c))
+    if not only_route:
+        bench("composite_fwd", cf, (attrs, seg_len_c))
     g_tiles = jax.jit(
         lambda attrs, sl: rp.composite_tiles_pallas(
             attrs, (W, H), ts, 0.5, None, 1e-4, sl
@@ -140,7 +144,7 @@ def main():
     )(attrs, seg_len_c)
 
     # 4b. composite fwd v2 (seg_len-bounded, early-out)
-    for D in (128, 256):
+    for D in (128, 256) if not only_route else ():
         bench(
             f"composite_fwd_v2_D{D}",
             lambda c, attrs, sl, D=D: tap(
@@ -161,8 +165,9 @@ def main():
         )
         return tap(out) + c
 
-    bench("composite_bwd", cb, (attrs, g_tiles, seg_len_c))
-    for D in (128, 256):
+    if not only_route:
+        bench("composite_bwd", cb, (attrs, g_tiles, seg_len_c))
+    for D in (128, 256) if not only_route else ():
         bench(
             f"composite_bwd_v2_D{D}",
             lambda c, attrs, gt, sl, D=D: tap(
@@ -233,7 +238,7 @@ def main():
     )(vals_T, keys_srt)
 
     # 8. final per-gaussian expansion (ops/expand)
-    EB = 512
+    EB = 256
     nbl = -(-N // EB)
     base = jnp.asarray(
         np.pad(np.asarray(bins.vid), (0, nbl * EB - N), mode="edge")[::EB]

@@ -187,7 +187,8 @@ def bin_gaussians(
         base = jnp.searchsorted(cum_c, starts, side="right").astype(
             jnp.int32
         )
-        src_p = jnp.pad(src, ((0, EB + 8), (0, 0)))
+        # each program's superset window reads EB * inner + 8 rows
+        src_p = jnp.pad(src, ((0, EB * 8 + 8), (0, 0)))
         rowsT = expand_spans(src_p, base, P, EB)  # (8+A, P)
         col_p = lambda i: rowsT[i]
     else:

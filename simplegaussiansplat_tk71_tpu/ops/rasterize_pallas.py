@@ -20,11 +20,14 @@ block is (1, A, K) / (1, 8, P) with aligned trailing dims):
   row 9 of attrs carries the gradient segment key, bitcast(key + 1) (the
   window kernel's zero fill then decodes to key -1 = "empty slot")
 
-The depth-axis exclusive cumprod / suffix cumsum are Hillis-Steele scans over
-the K (sublane) axis — log2(K) shift+combine steps on (K, P) VMEM tiles,
-the in-register equivalent of the reference's thrust scans
-(cuda_kernel/grouped_cumprod_forward.cu, grouped_cumsum flip trick
-gs_model.py:716-722).
+The depth-axis exclusive cumprod / suffix cumsum (the reference's thrust
+scans, cuda_kernel/grouped_cumprod_forward.cu + the grouped_cumsum flip trick
+gs_model.py:716-722) run as MXU work in the single-pass kernels: the cumprod
+in log space as strict-triangular matmuls per depth block with a carried
+log-transmittance, the suffix sum as the strict-upper-triangular transpose —
+the VPU was the bottleneck at ~40 Hillis-Steele ops/element, the MXU does
+each scan in 3 bf16 passes (_tri_matmul). The blocked v2 kernels keep the
+in-register Hillis-Steele scans (_exclusive_cumprod/_inclusive_cumsum).
 """
 
 import functools
@@ -93,75 +96,170 @@ def _alphas(attrs, px, py):
     return dx, dy, g, alpha, op
 
 
+def _depth_block(K):
+    """Depth-block size for the MXU-cumsum kernels: the triangular matmul's
+    flops grow with D^2 while the carry chain length shrinks with 1/D."""
+    D = min(K, 256)
+    assert K % D == 0, (K, D)
+    return D
+
+
+def _tri_cumsum_masks(D):
+    """Strict lower/upper triangular 0/1 masks (exact in one bf16 pass)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (D, D), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (D, D), 1)
+    return (c < r).astype(jnp.float32), (c > r).astype(jnp.float32)
+
+
+def _tri_matmul(tri, x):
+    """tri (D, D) 0/1 mask @ x (D, P) f32, f32-faithful at 3 bf16 passes.
+
+    Mosaic's only precision knobs are DEFAULT (both operands truncated to one
+    bf16 pass — 1e-2 relative error, too lossy for log-transmittance sums)
+    and HIGHEST (full f32 contraction). The mask operand is EXACT in bf16,
+    so splitting only x into three bf16 terms and accumulating three DEFAULT
+    matmuls in f32 reproduces the f32 contraction of the mask side at half
+    the MXU passes (the bf16x3 trick, done manually because Mosaic has no
+    per-operand precision)."""
+    x0 = x.astype(jnp.bfloat16)
+    r0 = x - x0.astype(jnp.float32)
+    x1 = r0.astype(jnp.bfloat16)
+    x2 = (r0 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    tri_b = tri.astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        tri_b, x0, dims, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        tri_b, x1, dims, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        tri_b, x2, dims, preferred_element_type=jnp.float32
+    )
+    return acc
+
+
+def _blk_alphas(attrs, b, D, px, py):
+    """Forward core on depth block b: (D, P) dx, dy, alpha + (D, 1) rows."""
+    blk = attrs[:, b * D:(b + 1) * D]
+    mux = blk[0, :][:, None]
+    muy = blk[1, :][:, None]
+    ca = blk[2, :][:, None]
+    cb = blk[3, :][:, None]
+    cc = blk[4, :][:, None]
+    op = blk[5, :][:, None]
+    dx = px - mux
+    dy = py - muy
+    q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    alpha = op * jnp.exp(-0.5 * q)
+    return blk, dx, dy, ca, cb, cc, op, alpha
+
+
 def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, out_ref):
     # Each program composites ``tile_block`` tiles from one VMEM block:
     # amortizes per-program/DMA overhead (grid T -> T / tile_block).
     # tile_ids (SMEM) maps grid position -> global tile id, so a sharded
     # caller can composite an arbitrary tile subset (parallel/tile_sharding).
+    #
+    # The exclusive depth cumprod runs in LOG space as a strict-triangular
+    # matmul per depth block + a carried log-transmittance: the MXU does the
+    # scan (2 bf16x3 matmul passes) instead of a log2(K)-step Hillis-Steele
+    # shift/select chain on the VPU (~40 VPU ops/element -> ~8, the kernel
+    # was VPU-bound). anti in (0, 1] so log is total; exp underflow to 0 at
+    # T < 1e-37 matches the saturated-tile semantics.
     pid = pl.program_id(0)
+    K = attrs_ref.shape[-1]
+    D = _depth_block(K)
+    P = ts * ts
+    tril, _ = _tri_cumsum_masks(D)
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
         px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
-        _, _, _, alpha, _ = _alphas(attrs, px, py)
-        t_excl = _exclusive_cumprod(1.0 - alpha)
-        w = t_excl * alpha  # (K, P)
-        col = attrs[6:9, :]  # (3, K)
-        img = jax.lax.dot_general(
-            col, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (3, P)
+        img = jnp.zeros((3, P), jnp.float32)
+        log_carry = jnp.zeros((1, P), jnp.float32)
+        for b in range(K // D):
+            blk, _, _, _, _, _, _, alpha = _blk_alphas(attrs, b, D, px, py)
+            loganti = jnp.log(jnp.maximum(1.0 - alpha, 1e-37))
+            excl = _tri_matmul(tril, loganti)  # (D, P) excl in-block log-T
+            t_excl = jnp.exp(excl + log_carry)
+            w = t_excl * alpha
+            img = img + jax.lax.dot_general(
+                blk[6:9, :], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            log_carry = log_carry + excl[D - 1:D, :] + loganti[D - 1:D, :]
         out_ref[t, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
 
 
-def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, alpha_scr, texcl_scr):
+    # Same MXU-cumsum structure as the forward (see _forward_kernel): phase 1
+    # replays the transmittance chain storing per-slot (alpha, exclusive T)
+    # in VMEM scratch; phase 2 walks depth blocks in reverse carrying the
+    # exclusive suffix sum (the reference's grad_cumsum_0 carry,
+    # gs_model.py:634-643) built by a strict-upper-triangular matmul.
     pid = pl.program_id(0)
+    K = attrs_ref.shape[-1]
+    D = _depth_block(K)
+    P = ts * ts
+    tril, triu = _tri_cumsum_masks(D)
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
         px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
-        dx, dy, g, alpha, op = _alphas(attrs, px, py)
-        anti = 1.0 - alpha
-        t_excl = _exclusive_cumprod(anti)
-        col = attrs[6:9, :]  # (3, K)
-        # ck(k, p) = <dL/dI(p), col_k>
-        ck = jax.lax.dot_general(
-            col, gimg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (K, P)
-        w = t_excl * alpha
-        wk = w * ck
-        incl = _inclusive_cumsum(wk)
-        total = incl[-1:, :]  # (1, P) total sum
-        suffix = total - incl  # exclusive suffix sum S_k
-        anti_safe = jnp.maximum(anti, 1e-8)
-        u = t_excl * ck - suffix / anti_safe
-        valid = op > 0.0
-        u = jnp.where(valid, u, 0.0)
 
-        m = op * u * g  # (K, P)
-        ca = attrs[2, :][:, None]
-        cb = attrs[3, :][:, None]
-        cc = attrs[4, :][:, None]
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
-        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
-        g_col = jax.lax.dot_general(
-            gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
-        # zero grads of masked slots — ids point at clamped garbage rows
-        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
-        grads = grads * valid_k
-        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+        log_carry = jnp.zeros((1, P), jnp.float32)
+        for b in range(K // D):
+            _, _, _, _, _, _, _, alpha = _blk_alphas(attrs, b, D, px, py)
+            loganti = jnp.log(jnp.maximum(1.0 - alpha, 1e-37))
+            excl = _tri_matmul(tril, loganti)
+            alpha_scr[b * D:(b + 1) * D, :] = alpha
+            texcl_scr[b * D:(b + 1) * D, :] = jnp.exp(excl + log_carry)
+            log_carry = log_carry + excl[D - 1:D, :] + loganti[D - 1:D, :]
+
+        s_carry = jnp.zeros((1, P), jnp.float32)
+        for b in reversed(range(K // D)):
+            blk, dx, dy, ca, cb, cc, op, _ = _blk_alphas(attrs, b, D, px, py)
+            alpha = alpha_scr[b * D:(b + 1) * D, :]
+            t_excl = texcl_scr[b * D:(b + 1) * D, :]
+            # ck(k, p) = <dL/dI(p), col_k>
+            ck = jax.lax.dot_general(
+                blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (D, P)
+            w = t_excl * alpha
+            wk = w * ck
+            suffix = _tri_matmul(triu, wk) + s_carry  # excl suffix sum S_k
+            s_carry = suffix[0:1, :] + wk[0:1, :]
+            anti_safe = jnp.maximum(1.0 - alpha, 1e-8)
+            u = t_excl * ck - suffix / anti_safe
+            valid = op > 0.0
+            u = jnp.where(valid, u, 0.0)
+
+            m = u * alpha  # = op * u * g
+            g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+            g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+            g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+            g_cb = jnp.sum(-m * dx * dy, axis=1)
+            g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+            # sum_p g*u = sum_p (alpha/op)*u: op is constant per slot, so
+            # reduce alpha*u then divide once per slot (invalid slots have
+            # alpha = 0 -> 0 * recip = 0, and are masked below anyway)
+            g_op = jnp.sum(m, axis=1) / jnp.maximum(op[:, 0], 1e-30)
+            # dL/dcol_c = sum_p gI_c * T * alpha : (3, D)
+            g_col = jax.lax.dot_general(
+                gimg, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+            grads = jnp.concatenate([grads, g_col], axis=0)  # (9, D)
+            # zero grads of masked slots — ids point at clamped garbage rows
+            valid_k = valid[:, 0].astype(jnp.float32)[None, :]  # (1, D)
+            grads = grads * valid_k
+            grad_ref[t, 0:9, b * D:(b + 1) * D] = grads
+        grad_ref[t, 9:, :] = jnp.zeros((NUM_ATTR_ROWS - 9, K), jnp.float32)
 
 
 def _forward_kernel_v2(
@@ -385,6 +483,11 @@ def composite_tiles_pallas(
             (TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, 8, P), jnp.float32),
+        # the unrolled tile/depth-block loops keep many (D, P) temporaries
+        # live on the Mosaic stack — beyond the 16 MB default scoped limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs)
     return out[:T]
 
@@ -456,6 +559,13 @@ def composite_tiles_pallas_bwd(
             (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K, P), jnp.float32),  # per-slot alpha (phase 1)
+            pltpu.VMEM((K, P), jnp.float32),  # per-slot exclusive T
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
 

@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from simplegaussiansplat_tk71_tpu.ops.expand import onehot_matmul
+
 
 def _segsum_kernel(B, C, inner, nprog, cols_layout, vals_ref, keys_ref,
                    out_ref, win_ref, carry_ref, last_rank_ref, sem):
@@ -64,22 +66,19 @@ def _segsum_kernel(B, C, inner, nprog, cols_layout, vals_ref, keys_ref,
         local = (keys - rf)[:, None]  # (B, 1) in [0, B)
         cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
         onehot = (local == cols).astype(jnp.float32)  # (B, B): [j, r]
-        # HIGHEST: the TPU default truncates f32 matmul inputs to one bf16
-        # pass, which rounds every gradient row to ~3 decimal digits; bf16x3
-        # keeps the segment sums f32-exact for the 0/1 one-hot operand
+        # the TPU DEFAULT precision truncates f32 matmul inputs to one bf16
+        # pass (rounds every gradient row to ~3 digits); the bf16x3 split of
+        # the value operand against the bf16-exact one-hot keeps the sums
+        # f32-faithful at half of HIGHEST's passes (ops/expand.onehot_matmul)
         if cols_layout:
             vals = vals_ref[:, i * B:(i + 1) * B]  # (C, B)
-            sums = jax.lax.dot_general(
-                onehot, vals, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            sums = onehot_matmul(
+                vals, onehot, (((0,), (1,)), ((), ())), transpose=True
             )  # (B, C) per local rank
         else:
             vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
-            sums = jax.lax.dot_general(
-                onehot, vals, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            sums = onehot_matmul(
+                vals, onehot, (((0,), (0,)), ((), ())), transpose=True
             )  # (B, C) per local rank
         # fold the carried partial of the previous block's last rank into
         # local row 0 when that rank continues into this block

@@ -24,8 +24,8 @@ def _run(src, clean, masked, block):
     pad = nb * block - len(clean)
     clean_p = np.pad(clean, (0, pad), mode="edge")
     base = clean_p[::block].astype(np.int32)
-    # source must cover every window read
-    S_need = int(base.max()) + block
+    # source must cover every superset window read (inner=8 blocks)
+    S_need = int(base.max()) + block * 8
     if src.shape[0] < S_need:
         src = np.pad(src, ((0, S_need - src.shape[0]), (0, 0)))
     return np.asarray(
@@ -81,7 +81,7 @@ def test_expand_spans_matches_owner_gather():
     src[:, 6] = np.minimum(cum, P + 1)
     starts = np.arange(-(-P // B), dtype=np.int64) * B
     base = np.searchsorted(cum, starts, side="right").astype(np.int32)
-    src_p = np.pad(src, ((0, B + 8), (0, 0)))
+    src_p = np.pad(src, ((0, B * 8 + 8), (0, 0)))
     out = np.asarray(
         expand_spans(jnp.asarray(src_p), jnp.asarray(base), P, B)
     )
