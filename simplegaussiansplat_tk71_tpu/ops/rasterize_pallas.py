@@ -192,12 +192,50 @@ def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, 
         out_ref[t, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
 
 
-def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, alpha_scr, texcl_scr):
-    # Same MXU-cumsum structure as the forward (see _forward_kernel): phase 1
-    # replays the transmittance chain storing per-slot (alpha, exclusive T)
-    # in VMEM scratch; phase 2 walks depth blocks in reverse carrying the
-    # exclusive suffix sum (the reference's grad_cumsum_0 carry,
-    # gs_model.py:634-643) built by a strict-upper-triangular matmul.
+def _excl_cumprod_mxu(anti, D, tril):
+    """Exclusive cumprod over axis 0 via log-space blockwise tri-matmuls."""
+    K = anti.shape[0]
+    loganti = jnp.log(jnp.maximum(anti, 1e-37))
+    parts = []
+    carry = jnp.zeros((1, anti.shape[1]), jnp.float32)
+    for b in range(K // D):
+        lb = loganti[b * D:(b + 1) * D, :]
+        e = _tri_matmul(tril, lb) + carry
+        parts.append(e)
+        carry = e[D - 1:D, :] + lb[D - 1:D, :]
+    return jnp.exp(jnp.concatenate(parts, axis=0))
+
+
+def _suffix_sum_mxu(wk, D, triu):
+    """Exclusive suffix sum over axis 0 via blockwise tri-matmuls."""
+    K = wk.shape[0]
+    parts = [None] * (K // D)
+    carry = jnp.zeros((1, wk.shape[1]), jnp.float32)
+    for b in reversed(range(K // D)):
+        wb = wk[b * D:(b + 1) * D, :]
+        s = _tri_matmul(triu, wb) + carry
+        parts[b] = s
+        carry = s[0:1, :] + wb[0:1, :]
+    return jnp.concatenate(parts, axis=0)
+
+
+# backward scan implementation: 'scan' = in-register Hillis-Steele (both
+# scans on the VPU), 'mxu_sfx' = suffix sum on the MXU (cumprod stays a VPU
+# scan), 'mxu_both' = suffix AND log-space cumprod on the MXU. Measured on
+# v5e at the 1M bench (proto_bwd, TB=4): scan 25.4, mxu_sfx 22.6,
+# mxu_both 24.7, and a phase-split all-MXU variant with VMEM scratch 39.4 —
+# the single-pass structure over full (K, P) arrays with the suffix sum on
+# the MXU wins; env-tunable for re-measurement.
+BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
+
+
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
+    # Single pass per tile over full (K, P) arrays — the reference backward
+    # (gs_model.py:703-766): recompute alphas, exclusive-cumprod
+    # transmittance, pixel-grad inner products, exclusive suffix sum,
+    # analytic grads. The phase-split MXU variant measured SLOWER (39 vs 25
+    # ms) despite fewer VPU ops — scratch round-trips and dependent small
+    # matmuls stall; see BWD_IMPL above.
     pid = pl.program_id(0)
     K = attrs_ref.shape[-1]
     D = _depth_block(K)
@@ -207,59 +245,53 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref,
         attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
         px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
+        dx, dy, g, alpha, op = _alphas(attrs, px, py)
+        anti = 1.0 - alpha
+        if BWD_IMPL == "mxu_both":
+            t_excl = _excl_cumprod_mxu(anti, D, tril)
+        else:
+            t_excl = _exclusive_cumprod(anti)
+        col = attrs[6:9, :]  # (3, K)
+        # ck(k, p) = <dL/dI(p), col_k>
+        ck = jax.lax.dot_general(
+            col, gimg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (K, P)
+        w = t_excl * alpha
+        wk = w * ck
+        if BWD_IMPL in ("mxu_sfx", "mxu_both"):
+            suffix = _suffix_sum_mxu(wk, D, triu)
+        else:
+            incl = _inclusive_cumsum(wk)
+            suffix = incl[-1:, :] - incl  # exclusive suffix sum S_k
+        anti_safe = jnp.maximum(anti, 1e-8)
+        u = t_excl * ck - suffix / anti_safe
+        valid = op > 0.0
+        u = jnp.where(valid, u, 0.0)
 
-        log_carry = jnp.zeros((1, P), jnp.float32)
-        for b in range(K // D):
-            _, _, _, _, _, _, _, alpha = _blk_alphas(attrs, b, D, px, py)
-            loganti = jnp.log(jnp.maximum(1.0 - alpha, 1e-37))
-            excl = _tri_matmul(tril, loganti)
-            alpha_scr[b * D:(b + 1) * D, :] = alpha
-            texcl_scr[b * D:(b + 1) * D, :] = jnp.exp(excl + log_carry)
-            log_carry = log_carry + excl[D - 1:D, :] + loganti[D - 1:D, :]
-
-        s_carry = jnp.zeros((1, P), jnp.float32)
-        for b in reversed(range(K // D)):
-            blk, dx, dy, ca, cb, cc, op, _ = _blk_alphas(attrs, b, D, px, py)
-            alpha = alpha_scr[b * D:(b + 1) * D, :]
-            t_excl = texcl_scr[b * D:(b + 1) * D, :]
-            # ck(k, p) = <dL/dI(p), col_k>
-            ck = jax.lax.dot_general(
-                blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (D, P)
-            w = t_excl * alpha
-            wk = w * ck
-            suffix = _tri_matmul(triu, wk) + s_carry  # excl suffix sum S_k
-            s_carry = suffix[0:1, :] + wk[0:1, :]
-            anti_safe = jnp.maximum(1.0 - alpha, 1e-8)
-            u = t_excl * ck - suffix / anti_safe
-            valid = op > 0.0
-            u = jnp.where(valid, u, 0.0)
-
-            m = u * alpha  # = op * u * g
-            g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-            g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-            g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-            g_cb = jnp.sum(-m * dx * dy, axis=1)
-            g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-            # sum_p g*u = sum_p (alpha/op)*u: op is constant per slot, so
-            # reduce alpha*u then divide once per slot (invalid slots have
-            # alpha = 0 -> 0 * recip = 0, and are masked below anyway)
-            g_op = jnp.sum(m, axis=1) / jnp.maximum(op[:, 0], 1e-30)
-            # dL/dcol_c = sum_p gI_c * T * alpha : (3, D)
-            g_col = jax.lax.dot_general(
-                gimg, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-            grads = jnp.concatenate([grads, g_col], axis=0)  # (9, D)
-            # zero grads of masked slots — ids point at clamped garbage rows
-            valid_k = valid[:, 0].astype(jnp.float32)[None, :]  # (1, D)
-            grads = grads * valid_k
-            grad_ref[t, 0:9, b * D:(b + 1) * D] = grads
-        grad_ref[t, 9:, :] = jnp.zeros((NUM_ATTR_ROWS - 9, K), jnp.float32)
+        m = op * u * g  # (K, P)
+        ca = attrs[2, :][:, None]
+        cb = attrs[3, :][:, None]
+        cc = attrs[4, :][:, None]
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
+        g_col = jax.lax.dot_general(
+            gimg, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
+        # zero grads of masked slots — ids point at clamped garbage rows
+        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
+        grads = grads * valid_k
+        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
 def _forward_kernel_v2(
@@ -559,10 +591,6 @@ def composite_tiles_pallas_bwd(
             (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((K, P), jnp.float32),  # per-slot alpha (phase 1)
-            pltpu.VMEM((K, P), jnp.float32),  # per-slot exclusive T
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
