@@ -193,7 +193,7 @@ def main():
             (W, H), tile_size=ts, max_pairs=P, max_per_tile=K,
             build_table=False, attrs=attrs,
         )
-        return bins.seg_len[777] + bins.gid_s[12345] + c
+        return bins.seg_len[777] + bins.key_s[12345] + c
 
     bench("full_binning_routed", full, (mean2d, bbox_half, depth, valid, attrs))
 

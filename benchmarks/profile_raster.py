@@ -69,7 +69,7 @@ def main():
             max_per_tile=Kmax, build_table=False, attrs=pk,
         )
     )(proj.mean2d[0], proj.bbox_half[0], proj.depth[0], proj.valid[0], packed)
-    Pn = bins.gid_s.shape[0]
+    Pn = bins.key_s.shape[0]
     N = bins.key_of_gauss.shape[0]  # capacity may round up
     K = Kmax
     only_route = bool(os.environ.get("SGS_ONLY_ROUTE"))

@@ -20,9 +20,10 @@ pairs):
      window starts come from ~P/256 binary searches on the cumsum. All
      per-pair metadata AND the 9 render-attr columns transport through the
      same one-hot MXU matmul;
-  4. one 2-key sort by (tile id, depth bits) carrying the attr columns and
+  4. one pair sort by (tile id, depth bits) carrying the attr columns and
      the gradient segment key as payloads (bitcast of a positive float is
-     monotone, so depth order inside every tile is exact; 9 extra f32
+     monotone; when the tile id fits 13 bits it packs with a quantized
+     depth into ONE int32 key — see the in-function comment; 9 extra f32
      payloads cost ~1 ms at 2.5M rows vs ~40 ms for the tile-order row
      gather they replace — sort payloads are dense 1-D columns, while the
      gather reads (N, 9) rows lane-padded 14x, NOTES.md layout tax);
@@ -59,7 +60,7 @@ class TileBins(NamedTuple):
     dropped_pairs: jnp.ndarray  # () int32 pairs lost to max_pairs capacity
     truncated: jnp.ndarray  # () int32 fragments lost to max_per_tile
     # --- tile-sorted pair space ---
-    gid_s: jnp.ndarray  # (P,) int32 pair owner gaussian id, (tile, depth)-sorted
+    gid_s: Optional[jnp.ndarray]  # (P,) int32 pair owner id, tile-sorted (build_table only)
     seg_start: jnp.ndarray  # (T,) int32 first pair index of tile t
     seg_len: jnp.ndarray  # (T,) int32 true list length (may exceed K)
     # --- sort-carried render attrs + gradient segment key (stop-gradient;
@@ -214,21 +215,39 @@ def bin_gaussians(
     tile = jnp.where(pair_valid & (tile < T), tile, T).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(col_p(4), jnp.int32)
     key_pair = col_p(5).astype(jnp.int32)
-    gid = col_p(7).astype(jnp.int32)
 
-    # --- 4. 2-key sort by (tile, depth); owner id, segment key and attr
-    # columns ride along as payloads (near-free: see module docstring) ---
-    operands = (tile, depth_bits, gid, key_pair) + tuple(
+    # --- 4. pair sort by (tile, depth); the segment key and attr columns
+    # ride along as payloads (near-free: see module docstring). When the
+    # tile id fits 13 bits, tile and a 4096-ulp-quantized depth PACK into
+    # one int32 key — the comparator cost scales with key count (2-key
+    # sorts measured ~20% slower at 2.2M rows), and depth ties within
+    # 4096 ulps (~0.05% relative) composite in arbitrary order, which is
+    # quality-neutral and consistent across every path (all share this
+    # binning). The owner id rides only when the dense table is built.
+    tile_bits = max(int(T).bit_length(), 1)
+    packed_key = tile_bits <= 13
+    if packed_key:
+        dshift = 31 - tile_bits
+        key0 = (tile << dshift) | jax.lax.shift_right_logical(
+            depth_bits, 32 - dshift
+        )
+        keys, nk = (key0,), 1
+    else:
+        keys, nk = (tile, depth_bits), 2
+    gid_ops = (col_p(7).astype(jnp.int32),) if build_table else ()
+    operands = keys + gid_ops + (key_pair,) + tuple(
         jax.lax.bitcast_convert_type(col_p(8 + a), jnp.int32)
         for a in range(A)
     )
-    out = jax.lax.sort(operands, num_keys=2)
-    tile_s, gid_s, key_s = out[0], out[2], out[3]
+    out = jax.lax.sort(operands, num_keys=nk)
+    base_i = nk + len(gid_ops)
+    gid_s = out[nk] if build_table else None
+    key_s = out[base_i]
     attrs_s = None
     if A:
         attrs_s = jnp.stack(
             [
-                jax.lax.bitcast_convert_type(out[4 + a], jnp.float32)
+                jax.lax.bitcast_convert_type(out[base_i + 1 + a], jnp.float32)
                 for a in range(A)
             ],
             axis=0,
@@ -236,8 +255,22 @@ def bin_gaussians(
 
     # --- 5. per-tile segments of sorted pair space ---
     tids = jnp.arange(T, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+    if packed_key:
+        # boundaries on the packed key: tile t's range is [t << dshift,
+        # (t + 1) << dshift)
+        seg_start = jnp.searchsorted(
+            out[0], tids << dshift, side="left"
+        ).astype(jnp.int32)
+        seg_end = jnp.searchsorted(
+            out[0], (tids + 1) << dshift, side="left"
+        ).astype(jnp.int32)
+    else:
+        seg_start = jnp.searchsorted(out[0], tids, side="left").astype(
+            jnp.int32
+        )
+        seg_end = jnp.searchsorted(out[0], tids, side="right").astype(
+            jnp.int32
+        )
     seg_len = seg_end - seg_start
 
     # --- 6. gradient-routing tables (see module docstring) ---
