@@ -229,69 +229,147 @@ def _suffix_sum_mxu(wk, D, triu):
 BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
 
 
+def _tile_grads(attrs, gimg, px, py, D, tril, triu):
+    """Per-tile analytic gradients (9, K) — the reference backward
+    (gs_model.py:703-766): recompute alphas, exclusive-cumprod
+    transmittance, pixel-grad inner products, exclusive suffix sum,
+    analytic grads for mean2d/conic/opacity/color."""
+    dx, dy, g, alpha, op = _alphas(attrs, px, py)
+    anti = 1.0 - alpha
+    if BWD_IMPL == "mxu_both":
+        t_excl = _excl_cumprod_mxu(anti, D, tril)
+    else:
+        t_excl = _exclusive_cumprod(anti)
+    col = attrs[6:9, :]  # (3, K)
+    # ck(k, p) = <dL/dI(p), col_k>
+    ck = jax.lax.dot_general(
+        col, gimg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (K, P)
+    w = t_excl * alpha
+    wk = w * ck
+    if BWD_IMPL in ("mxu_sfx", "mxu_both"):
+        suffix = _suffix_sum_mxu(wk, D, triu)
+    else:
+        incl = _inclusive_cumsum(wk)
+        suffix = incl[-1:, :] - incl  # exclusive suffix sum S_k
+    anti_safe = jnp.maximum(anti, 1e-8)
+    u = t_excl * ck - suffix / anti_safe
+    valid = op > 0.0
+    u = jnp.where(valid, u, 0.0)
+
+    m = op * u * g  # (K, P)
+    ca = attrs[2, :][:, None]
+    cb = attrs[3, :][:, None]
+    cc = attrs[4, :][:, None]
+    g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+    g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+    g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+    g_cb = jnp.sum(-m * dx * dy, axis=1)
+    g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+    g_op = jnp.sum(g * u, axis=1)
+    # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
+    g_col = jax.lax.dot_general(
+        gimg, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+    grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
+    # zero grads of masked slots — ids point at clamped garbage rows
+    valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
+    return grads * valid_k
+
+
 def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
-    # Single pass per tile over full (K, P) arrays — the reference backward
-    # (gs_model.py:703-766): recompute alphas, exclusive-cumprod
-    # transmittance, pixel-grad inner products, exclusive suffix sum,
-    # analytic grads. The phase-split MXU variant measured SLOWER (39 vs 25
-    # ms) despite fewer VPU ops — scratch round-trips and dependent small
-    # matmuls stall; see BWD_IMPL above.
+    # Single pass per tile over full (K, P) arrays. The phase-split MXU
+    # variant measured SLOWER (39 vs 25 ms) despite fewer VPU ops — scratch
+    # round-trips and dependent small matmuls stall; see BWD_IMPL above.
     pid = pl.program_id(0)
     K = attrs_ref.shape[-1]
     D = _depth_block(K)
-    P = ts * ts
     tril, triu = _tri_cumsum_masks(D)
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
         px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
-        dx, dy, g, alpha, op = _alphas(attrs, px, py)
-        anti = 1.0 - alpha
-        if BWD_IMPL == "mxu_both":
-            t_excl = _excl_cumprod_mxu(anti, D, tril)
-        else:
-            t_excl = _exclusive_cumprod(anti)
-        col = attrs[6:9, :]  # (3, K)
-        # ck(k, p) = <dL/dI(p), col_k>
-        ck = jax.lax.dot_general(
-            col, gimg, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (K, P)
-        w = t_excl * alpha
-        wk = w * ck
-        if BWD_IMPL in ("mxu_sfx", "mxu_both"):
-            suffix = _suffix_sum_mxu(wk, D, triu)
-        else:
-            incl = _inclusive_cumsum(wk)
-            suffix = incl[-1:, :] - incl  # exclusive suffix sum S_k
-        anti_safe = jnp.maximum(anti, 1e-8)
-        u = t_excl * ck - suffix / anti_safe
-        valid = op > 0.0
-        u = jnp.where(valid, u, 0.0)
-
-        m = op * u * g  # (K, P)
-        ca = attrs[2, :][:, None]
-        cb = attrs[3, :][:, None]
-        cc = attrs[4, :][:, None]
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
-        # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
-        g_col = jax.lax.dot_general(
-            gimg, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
-        # zero grads of masked slots — ids point at clamped garbage rows
-        valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
-        grads = grads * valid_k
+        grads = _tile_grads(attrs, gimg, px, py, D, tril, triu)
         grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+
+
+def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
+                           slot_start_ref, tile_ids_ref, attrs_ref, gimg_ref,
+                           out_ref, stage, pend, sem):
+    """Backward emitting gradients in COMPACT PAIR SPACE: (16, Pc) columns
+    where tile t's in-table slots occupy [slot_start[t], slot_start[t+1])
+    (slot_start = cumsum of min(seg_len, K)). Row 9 carries each slot's
+    segment key (attr-table row KEY_ROW, moved bit-exactly through selects
+    and rolls — never float arithmetic: the encodings are denormals and TPU
+    float ops flush them to zero). The gradient-routing sort then runs over
+    Pc ~ real pairs instead of T * K slots + N dummy rows (the device trace
+    showed that sort at 27.7 ms/step — the single largest op).
+
+    Output windows are data-dependent, so the kernel DMAs manually: each
+    program stages its tiles' columns at a 128-aligned base via
+    positive-shift rolls + lane-mask selects, hands the trailing partial
+    chunk to the next program through scratch (consecutive programs abut
+    mid-chunk), and writes one aligned (16, CAP) window, one copy in flight
+    (consecutive windows overlap at the hand-off chunk)."""
+    s = pl.program_id(0)
+    K = attrs_ref.shape[-1]
+    D = _depth_block(K)
+    TB = tile_block
+    tril, triu = _tri_cumsum_masks(D)
+    slot = jax.lax.rem(s, 2)
+    start = slot_start_ref[s * TB]
+    end = slot_start_ref[(s + 1) * TB]
+    a0 = (start // 128) * 128
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NUM_ATTR_ROWS, CAP), 1)
+    # merge the previous program's trailing partial chunk (our first chunk);
+    # start - a0 < 128, so the mask only reaches the padded pend region
+    pend_full = jnp.pad(pend[:, :], ((0, 0), (0, CAP - 128)))
+    acc = jnp.where(
+        (lane < (start - a0)) & (s > 0),
+        pend_full,
+        jnp.zeros((NUM_ATTR_ROWS, CAP), jnp.float32),
+    )
+    for i in range(TB):
+        t = s * TB + i
+        gimg = gimg_ref[i, :3, :]
+        px, py = _pixel_coords(tile_ids_ref[t], ntx, ts, pixel_offset)
+        grads = _tile_grads(attrs_ref[i], gimg, px, py, D, tril, triu)
+        # slot key rides as row 9 (bit-exact moves only)
+        rows10 = jnp.concatenate([grads, attrs_ref[i, KEY_ROW:KEY_ROW + 1, :]], axis=0)
+        rows10 = jnp.pad(
+            rows10, ((0, NUM_ATTR_ROWS - 10), (0, CAP - K))
+        )
+        off = slot_start_ref[t] - a0  # in [0, CAP - K]
+        lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
+        rolled = pltpu.roll(rows10, off, axis=1)
+        acc = jnp.where((lane >= off) & (lane < off + lk), rolled, acc)
+    # hand the trailing partial chunk to the next program
+    e0 = (end // 128) * 128
+    tail = pltpu.roll(acc, CAP - (e0 - a0), axis=1)[:, :128]
+    pend[:, :] = tail
+
+    # one-in-flight aligned window write (windows overlap at the hand-off)
+    stage[slot] = acc
+
+    @pl.when(s > 0)
+    def _():
+        pltpu.make_async_copy(
+            stage.at[1 - slot], out_ref.at[:, pl.ds(0, CAP)], sem
+        ).wait()
+
+    copy = pltpu.make_async_copy(
+        stage.at[slot], out_ref.at[:, pl.ds(a0, CAP)], sem
+    )
+    copy.start()
+
+    @pl.when(s == nprog - 1)
+    def _():
+        copy.wait()
 
 
 def _forward_kernel_v2(
@@ -598,6 +676,66 @@ def composite_tiles_pallas_bwd(
     return out[:T]
 
 
+def composite_tiles_pallas_bwd_pairs(
+    attrs,
+    g_tiles,
+    img_wh,
+    tile_size: int,
+    pixel_offset: float,
+    seg_len,
+    pc: int,
+    tile_block: int = 4,
+    tile_ids=None,
+):
+    """Backward with COMPACT PAIR-SPACE output (see _backward_kernel_pairs):
+    returns (16, pc) columns — rows 0..8 per-slot gradients, row 9 the
+    bitcast(key + 1) segment key — where tile t's in-table slots occupy
+    [slot_start[t], slot_start[t+1]), slot_start = cumsum(min(seg_len, K)).
+    ``pc`` must statically bound sum(min(seg_len, K)) (min(max_pairs, T*K))."""
+    T, A, K = attrs.shape
+    width, height = int(img_wh[0]), int(img_wh[1])
+    ts = tile_size
+    ntx = -(-width // ts)
+    P = ts * ts
+    TB = tile_block
+    T_pad = -(-T // TB) * TB
+    if T_pad != T:
+        attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0), (0, 0)))
+        g_tiles = jnp.pad(g_tiles, ((0, T_pad - T), (0, 0), (0, 0)))
+        seg_len = jnp.pad(seg_len, (0, T_pad - T))
+    lk = jnp.minimum(seg_len, K).astype(jnp.int32)
+    slot_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lk).astype(jnp.int32)]
+    )  # (T_pad + 1,)
+    CAP = TB * K + 128
+    nprog = T_pad // TB
+    pc_buf = -(-pc // 128) * 128 + CAP + 128
+    kernel = functools.partial(
+        _backward_kernel_pairs, ntx, ts, pixel_offset, TB, CAP, nprog
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slot_start
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
+            pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual window DMA
+        out_shape=jax.ShapeDtypeStruct((NUM_ATTR_ROWS, pc_buf), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, NUM_ATTR_ROWS, CAP), jnp.float32),  # dbl-buffered
+            pltpu.VMEM((NUM_ATTR_ROWS, 128), jnp.float32),  # hand-off chunk
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(slot_start, _tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
+    return out[:, :pc]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _composite_pallas(attrs, seg_len, tile_ids, img_wh, tile_size, pixel_offset, depth_block, t_eps):
     return composite_tiles_pallas(
@@ -750,10 +888,10 @@ def _pair_table(attrs_s, key_s, seg_start, seg_len, K):
     return pair_attrs_to_table(ap, seg_start, seg_len, K)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _composite_pairroute(
     packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
-    K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     attrs = _pair_table(attrs_s, key_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
@@ -764,7 +902,7 @@ def _composite_pairroute(
 
 def _composite_pairroute_fwd(
     packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
-    K, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps,
 ):
     # packed is numerically identical to the sort-transported attrs_s and is
     # unused in the forward — it exists as the differentiable anchor: the
@@ -777,7 +915,7 @@ def _composite_pairroute_fwd(
     )
     # save the windowed attrs (the kernel input) rather than rebuilding in
     # backward; row KEY_ROW doubles as the per-slot segment-key table
-    res = (attrs, seg_len_c, vid, key_of_gauss)
+    res = (attrs, seg_len, vid, key_of_gauss)
     return out, res
 
 
@@ -785,52 +923,85 @@ _EXPAND_BLOCK = 256  # one-hot matmul flops scale with the block size
 
 
 def _composite_pairroute_bwd(
-    K, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
 ):
-    """Route per-slot kernel gradients to per-gaussian rows with one
+    """Route per-pair kernel gradients to per-gaussian rows with one
     payload-carrying sort and two MXU kernels (no scatter-add, no row
     gathers — XLA random row gathers are issue-bound at ~45 ms / 2.5M rows,
     and (rows, 9) buffers pad 14x; sort payloads are dense 1-D columns):
 
-      slot (t, k) grads + its segment key (attr-table row KEY_ROW)
+      compact pair-space grads + keys (composite_tiles_pallas_bwd_pairs)
       --1-key lax.sort--> key-sorted gradient columns
       --sorted-key segment sum (ops/segsum, column layout)--> segment sums
       --sorted-key expansion (ops/expand)--> per-gaussian rows
 
     ops/segsum needs gap-free sorted keys (every segment in [0, n_live)
-    present); slots alone can miss a segment whose every pair was truncated
-    past K, so one zero-gradient dummy row per surviving segment is
-    concatenated before the sort. Empty slots decode to key -1 and are
-    remapped to the pad segment N-1 (zero rows, merge-safe).
-    (tests/test_pair_route checks grads against the XLA path.)
+    present). With zero per-tile truncation every surviving pair is
+    in-table, so compact pair space covers every segment and the sort runs
+    LEAN over ~real-pair rows (the device trace showed the old
+    T*K-slots + N-dummies sort at 27.7 ms/step — the single largest op).
+    When truncation drops a segment's every pair, a lax.cond switches to
+    the dummy-augmented sort (one zero row per surviving segment). Unused
+    lanes decode to key -1 and remap to the pad segment N-1 (zero rows,
+    merge-safe). (tests/test_pair_route checks grads against the XLA path.)
     """
     from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
     from simplegaussiansplat_tk71_tpu.ops.segsum import segment_sum_sorted
 
-    attrs, seg_len_c, vid, key_of_gauss = res
+    attrs, seg_len, vid, key_of_gauss = res
     N = vid.shape[0]
-    slot_grads = composite_tiles_pallas_bwd(
-        attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block, t_eps,
-        seg_len_c,
-    )  # (T, 16, K) attr-major
-    T, _, Kk = slot_grads.shape
-
-    keys_slot = (
-        jax.lax.bitcast_convert_type(attrs[:, KEY_ROW, :], jnp.int32) - 1
-    ).reshape(T * Kk)
-    keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
     dummy_keys = jnp.where(key_of_gauss >= 0, key_of_gauss, N - 1)
-    keys_all = jnp.concatenate([keys_slot, dummy_keys])
     zeros_n = jnp.zeros((N,), jnp.float32)
-    grad_cols = tuple(
-        jnp.concatenate([slot_grads[:, a, :].reshape(T * Kk), zeros_n])
-        for a in range(9)
-    )
-    srt = jax.lax.sort((keys_all,) + grad_cols, num_keys=1)
-    vals_T = jnp.stack(srt[1:], axis=0)  # (9, T*K + N)
-    sums_raw = segment_sum_sorted(
-        vals_T, srt[0], N, raw=True, cols_layout=True
-    )
+
+    if depth_block is not None:
+        # the blocked v2 kernel emits slot-space grads only
+        seg_len_c = jnp.minimum(seg_len, K)
+        slot_grads = composite_tiles_pallas_bwd(
+            attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block,
+            t_eps, seg_len_c,
+        )  # (T, 16, K) attr-major
+        T, _, Kk = slot_grads.shape
+        keys_slot = (
+            jax.lax.bitcast_convert_type(attrs[:, KEY_ROW, :], jnp.int32) - 1
+        ).reshape(T * Kk)
+        keys = jnp.where(keys_slot < 0, N - 1, keys_slot)
+        cols = tuple(slot_grads[:, a, :].reshape(T * Kk) for a in range(9))
+        lean_ok = False
+    else:
+        pair_grads = composite_tiles_pallas_bwd_pairs(
+            attrs, g_tiles, img_wh, tile_size, pixel_offset, seg_len, pc
+        )  # (16, pc): rows 0..8 grads, row 9 keys
+        keys_pc = (
+            jax.lax.bitcast_convert_type(pair_grads[KEY_ROW], jnp.int32) - 1
+        )
+        keys = jnp.where(keys_pc < 0, N - 1, keys_pc)
+        cols = tuple(pair_grads[a] for a in range(9))
+        lean_ok = True
+
+    def _reduce(keys, cols):
+        srt = jax.lax.sort((keys,) + cols, num_keys=1)
+        vals_T = jnp.stack(srt[1:], axis=0)
+        return segment_sum_sorted(
+            vals_T, srt[0], N, raw=True, cols_layout=True
+        )
+
+    def _reduce_dummied(args):
+        k, c = args[0], args[1:]
+        return _reduce(
+            jnp.concatenate([k, dummy_keys]),
+            tuple(jnp.concatenate([x, zeros_n]) for x in c),
+        )
+
+    if lean_ok:
+        truncation = jnp.sum(jnp.maximum(seg_len - K, 0)) > 0
+        sums_raw = jax.lax.cond(
+            truncation,
+            _reduce_dummied,
+            lambda args: _reduce(args[0], args[1:]),
+            (keys,) + cols,
+        )
+    else:
+        sums_raw = _reduce_dummied((keys,) + cols)
     nb = -(-N // _EXPAND_BLOCK)
     base = jnp.pad(vid, (0, nb * _EXPAND_BLOCK - N), mode="edge")[
         ::_EXPAND_BLOCK
@@ -888,10 +1059,11 @@ def rasterize_tiles_pallas(
         assert route.attrs_s is not None, "route needs binning(attrs=packed)"
         K = route.ids.shape[1] if route.ids is not None else max_per_tile
         assert K is not None, "max_per_tile required when route has no table"
+        pc = min(route.key_s.shape[0], T * K)
         out = _composite_pairroute(
             packed, route.attrs_s, route.key_s, route.seg_start,
             route.seg_len, route.vid, route.key_of_gauss,
-            K, img_wh, ts, pixel_offset, depth_block, t_eps,
+            K, pc, img_wh, ts, pixel_offset, depth_block, t_eps,
         )
     else:
         assert ids.shape[0] == T

@@ -70,3 +70,30 @@ def test_routed_grads_with_blocked_kernel():
             np.asarray(g_v2[name]), np.asarray(g_ref[name]),
             rtol=2e-3, atol=1e-6, err_msg=name,
         )
+
+
+def test_routed_grads_with_truncation_cond():
+    """Per-tile truncation (tiny max_per_tile) flips the routing backward to
+    its dummy-augmented branch (the lax.cond in _composite_pairroute_bwd);
+    grads must still match the XLA path, which truncates identically."""
+    model, P, K, wh, n = _scene(seed=47)
+    params = model.trainable()
+    target = jnp.zeros((1, wh[1], wh[0], 3))
+
+    def loss(params, cfg):
+        img, _ = render_params(params, model.alive, P, K, wh, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    for kmax in (8, 256):  # 8 forces truncation; 256 exercises the lean path
+        cfg_xla = RenderConfig(tile_size=16, max_per_tile=kmax, tile_chunk=4)
+        cfg_routed = RenderConfig(
+            tile_size=16, max_per_tile=kmax, use_pallas=True,
+            pair_grad_route=True,
+        )
+        g_x = jax.grad(loss)(params, cfg_xla)
+        g_r = jax.grad(loss)(params, cfg_routed)
+        for name in params:
+            np.testing.assert_allclose(
+                np.asarray(g_r[name]), np.asarray(g_x[name]),
+                rtol=2e-3, atol=1e-6, err_msg=f"K={kmax} {name}",
+            )
