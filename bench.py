@@ -67,6 +67,9 @@ def main():
         max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2200000")),
         tile_chunk=125,
         use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",
+        # official-3DGS alpha floor: pairs that cannot reach 1/255 anywhere
+        # in their tile are culled at binning (exact conservative test)
+        cull_alpha_min=float(os.environ.get("SGS_BENCH_CULL", str(1 / 255))),
     )
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, rcfg, (W, H), opt)

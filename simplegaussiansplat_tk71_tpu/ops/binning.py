@@ -85,6 +85,7 @@ def bin_gaussians(
     build_table: bool = True,
     attrs: jnp.ndarray | None = None,
     expand_transport: bool | None = None,
+    cull_alpha_min: float = 0.0,
 ) -> TileBins:
     """Build tile-sorted pair space (+ optional dense id table) for one camera.
 
@@ -103,6 +104,15 @@ def bin_gaussians(
       expand_transport: route the per-pair transport through the
         ops/expand pallas kernel (default: on TPU) instead of an XLA row
         gather (CPU fallback / interpret tests pass True explicitly).
+      cull_alpha_min: exact per-pair tile-intersection culling (needs
+        ``attrs``): a (gaussian, tile) pair is dropped when the gaussian
+        cannot reach alpha >= cull_alpha_min anywhere in the tile — the
+        official-3DGS 1/255 convention, conservative via the conic's
+        smallest eigenvalue times the squared euclidean distance to the
+        tile rect (a lower bound on the anisotropic quadratic). 0 disables
+        (exact 3-sigma-box semantics, like the reference). Culling shrinks
+        per-tile depth lists, so max_per_tile (kernel time scales with it)
+        can drop; pairs still occupy max_pairs capacity upstream.
     """
     # binning is pure structure — gradients flow through the rasterizer's
     # custom vjp, never through tile assignment / sort keys (and the pallas
@@ -212,7 +222,28 @@ def bin_gaussians(
         jnp.int32
     ) + lx
     pair_valid = j < total
-    tile = jnp.where(pair_valid & (tile < T), tile, T).astype(jnp.int32)
+    keep = pair_valid & (tile < T)
+    if cull_alpha_min > 0.0 and attrs is not None:
+        # conservative reachability: q >= lam_min(conic) * d(rect, mean)^2,
+        # keep iff op * exp(-q_lb / 2) could reach cull_alpha_min
+        mx, my = col_p(8), col_p(9)
+        ca, cb, cc = col_p(10), col_p(11), col_p(12)
+        op = col_p(13)
+        tx = (col_p(0).astype(jnp.int32) + lx).astype(jnp.float32) * ts
+        ty = (col_p(1).astype(jnp.int32) + ly).astype(jnp.float32) * ts
+        dx = jnp.clip(mx, tx, tx + ts) - mx
+        dy = jnp.clip(my, ty, ty + ts) - my
+        d2 = dx * dx + dy * dy
+        lam_min = jnp.maximum(
+            0.5 * (ca + cc)
+            - jnp.sqrt(0.25 * (ca - cc) ** 2 + cb * cb + 1e-30),
+            0.0,
+        )
+        thresh = 2.0 * jnp.log(
+            jnp.maximum(op, 1e-30) * (1.0 / cull_alpha_min)
+        )
+        keep = keep & (lam_min * d2 <= thresh)
+    tile = jnp.where(keep, tile, T).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(col_p(4), jnp.int32)
     key_pair = col_p(5).astype(jnp.int32)
 

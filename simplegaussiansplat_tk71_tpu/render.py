@@ -25,6 +25,10 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False  # fused TPU kernels (ops/rasterize_pallas)
     depth_block: int | None = None  # pallas: blocked kernel w/ early-out
     t_eps: float = 1e-4  # pallas blocked kernel early-out threshold
+    cull_alpha_min: float = 0.0  # exact per-pair tile-intersection culling
+    # at this alpha floor (official-3DGS uses 1/255); 0 = exact 3-sigma-box
+    # semantics like the reference. Routed-pallas path only (needs the
+    # sort-carried attrs).
     pair_grad_route: bool = True  # pair-space grad routing (pallas path):
     # compositor reads tile-sorted pair space directly (no id-table /
     # slot-space gathers) and per-gaussian gradient reduction is a gather +
@@ -97,6 +101,7 @@ def render_params(
             # (T, K) id-table gather entirely (18 ms at bench scale)
             build_table=not routed,
             attrs=packed,
+            cull_alpha_min=config.cull_alpha_min if routed else 0.0,
         )
         if config.use_pallas:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (

@@ -134,3 +134,43 @@ def test_expand_transport_matches_gather():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def test_cull_alpha_min_drops_unreachable_pairs():
+    """Exact tile-intersection culling must only drop pairs whose gaussian
+    cannot reach alpha >= 1/255 in the tile: the culled render differs from
+    the exact-box render by less than a few alpha_min units per pixel."""
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    n = 400
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz[:, 2] += 5
+    model = init_from_points(xyz, rng.uniform(0.05, 0.4, n).astype(np.float32))
+    sh = np.array(model.sh)
+    sh[0:3, :n] = rng.uniform(0.5, 3, (n, 3)).T
+    model = model._replace(sh=jnp.asarray(sh))
+    P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    K = jnp.asarray([[[60.0, 0, 64], [0, 60.0, 48], [0, 0, 1]]])
+    base = dict(max_per_tile=128, max_pairs=8192, use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        img0, aux0 = render(model, P, K, (128, 96), RenderConfig(**base))
+        img1, aux1 = render(
+            model, P, K, (128, 96),
+            RenderConfig(cull_alpha_min=1.0 / 255, **base),
+        )
+        img2, aux2 = render(
+            model, P, K, (128, 96),
+            RenderConfig(cull_alpha_min=1e-6, **base),
+        )
+    # 1/255 floor: error accumulates over culled sub-threshold terms (each
+    # < alpha_min * color); bounded but visible
+    diff = float(jnp.max(jnp.abs(img1 - img0)))
+    assert diff < 0.1, diff
+    assert diff > 0.0  # culling actually removed something
+    # a tiny floor must be near-exact (conservative lower bound never culls
+    # a contributing pair above it)
+    diff2 = float(jnp.max(jnp.abs(img2 - img0)))
+    assert diff2 < 1e-3, diff2
