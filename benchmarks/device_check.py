@@ -1,0 +1,97 @@
+"""Device-correctness harness: run the fused-pallas render/backward on the
+REAL TPU against the XLA path at several shapes and report gradient/image
+agreement. Interpret-mode tests (tests/) validate kernel LOGIC but cannot
+catch Mosaic lowering bugs — this catches those (e.g. the compact pair-space
+backward corrupting at T=256/K=512 while interpret-exact; see NOTES.md).
+
+Run: python benchmarks/device_check.py   (one TPU process only)
+Prints one JSON line per config; nonzero exit if any config exceeds
+tolerance or crashes.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TOL = 5e-3  # worst-case relative gradient disagreement vs the XLA path
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def check(tag, n, W, Kk, scale, seed=3):
+    import jax
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render_params
+
+    rng = np.random.default_rng(seed)
+    xyz = (rng.normal(size=(n, 3)) * 0.8).astype(np.float32)
+    xyz[:, 2] += 4.0
+    model = init_from_points(xyz, np.full(n, scale, np.float32))
+    sh = np.array(model.sh)
+    sh[0:3, :n] = rng.uniform(0.5, 3, (n, 3)).T
+    model = model._replace(sh=jnp.asarray(sh))
+    H = W
+    f = 1.2 * W
+    P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    K = jnp.asarray([[[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]]])
+    params = model.trainable()
+    target = jnp.zeros((1, H, W, 3))
+    mp = 16 * n
+
+    def loss(p, cfg):
+        im, _ = render_params(p, model.alive, P, K, (W, H), cfg)
+        return jnp.mean((im - target) ** 2)
+
+    cfg_x = RenderConfig(tile_size=16, max_per_tile=Kk, tile_chunk=8, max_pairs=mp)
+    cfg_r = RenderConfig(tile_size=16, max_per_tile=Kk, use_pallas=True, max_pairs=mp)
+    ok = True
+    try:
+        lx, gx = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, cfg_x)
+        lr, gr = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, cfg_r)
+        worst = 0.0
+        for name in params:
+            a, b = np.asarray(gx[name]), np.asarray(gr[name])
+            rel = float(np.abs(a - b).max() / (np.abs(a).max() + 1e-12))
+            worst = max(worst, rel)
+        lrel = abs(float(lx) - float(lr)) / max(abs(float(lx)), 1e-12)
+        ok = worst < TOL and lrel < 1e-4
+        print(
+            json.dumps(
+                {
+                    "config": tag, "loss_xla": round(float(lx), 6),
+                    "loss_pallas": round(float(lr), 6),
+                    "grad_worst_rel": float(f"{worst:.3e}"), "ok": bool(ok),
+                }
+            ),
+            flush=True,
+        )
+    except Exception as e:  # crash = failure, report and continue
+        print(json.dumps({"config": tag, "error": str(e)[:200], "ok": False}),
+              flush=True)
+        ok = False
+    return ok
+
+
+def main():
+    import jax
+
+    log("devices:", jax.devices())
+    results = [
+        check("n2k_w128_K256", 2000, 128, 256, 0.08),
+        check("n8k_w128_K512_trunc", 8000, 128, 512, 0.08),
+        check("n20k_w256_K512_trunc", 20000, 256, 512, 0.1),
+        check("n50k_w256_K1024", 50000, 256, 1024, 0.03),
+    ]
+    sys.exit(0 if all(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -189,8 +189,7 @@ def main():
     # 6. grad-routing sort: slot keys (attr row 9) + 9 grad columns + dummies
     def fg(c, sg, attrs, kog):
         keys_slot = (
-            jax.lax.bitcast_convert_type(attrs[:, rp.KEY_ROW, :], jnp.int32)
-            - 1
+            attrs[:, rp.KEY_ROW, :].astype(jnp.int32) - 1
         ).reshape(T * K)
         keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
         dummy = jnp.where(kog >= 0, kog, N - 1)
@@ -208,7 +207,7 @@ def main():
     bench("grad_sort", fg, (slot_grads, attrs, bins.key_of_gauss))
 
     keys_slot = (
-        jax.lax.bitcast_convert_type(attrs[:, rp.KEY_ROW, :], jnp.int32) - 1
+        attrs[:, rp.KEY_ROW, :].astype(jnp.int32) - 1
     ).reshape(T * K)
     keys_slot = jnp.where(keys_slot < 0, N - 1, keys_slot)
     dummy = jnp.where(bins.key_of_gauss >= 0, bins.key_of_gauss, N - 1)

@@ -138,9 +138,7 @@ def main():
             a, gt, (W, H), ts, 0.5, None, 1e-4, sl
         )
     )(attrs, g_tiles, seg_len_c)
-    keys_slot = (
-        jax.lax.bitcast_convert_type(attrs[:, rp.KEY_ROW, :], jnp.int32) - 1
-    ).reshape(T * K)
+    keys_slot = (attrs[:, rp.KEY_ROW, :].astype(jnp.int32) - 1).reshape(T * K)
     keys_slot = jnp.where(keys_slot < 0, NN - 1, keys_slot)
     dummy = jnp.where(bins.key_of_gauss >= 0, bins.key_of_gauss, NN - 1)
     keys_all = jnp.concatenate([keys_slot, dummy])

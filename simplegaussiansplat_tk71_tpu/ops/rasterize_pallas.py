@@ -17,8 +17,13 @@ block is (1, A, K) / (1, 8, P) with aligned trailing dims):
   grads: (T, 16, K)    rows 0..8 = d mux, d muy, d a, d b, d c, d op, d rgb
          (attr-major: lanes = K keeps the HBM buffer unpadded; a (.., K, 16)
          layout pads 16 -> 128 lanes, 8x memory and traffic)
-  row 9 of attrs carries the gradient segment key, bitcast(key + 1) (the
-  window kernel's zero fill then decodes to key -1 = "empty slot")
+  row 9 of attrs carries the gradient segment key as the FLOAT VALUE
+  key + 1 (exact below 2^24; the window kernel's zero fill decodes to key
+  -1 = "empty slot"). NEVER encode keys as bitcast int bits: small ints are
+  denormal f32 patterns and TPU float ops FLUSH DENORMALS — whether an XLA
+  fusion that flushes touches the row is shape-dependent, which silently
+  zeroed every key at some image/tile shapes while interpret mode stayed
+  exact (root-caused 2026-08-19; see NOTES.md).
 
 The depth-axis exclusive cumprod / suffix cumsum (the reference's thrust
 scans, cuda_kernel/grouped_cumprod_forward.cu + the grouped_cumsum flip trick
@@ -228,6 +233,13 @@ def _suffix_sum_mxu(wk, D, triu):
 # the MXU wins; env-tunable for re-measurement.
 BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
 
+# compact pair-space gradient output (composite_tiles_pallas_bwd_pairs):
+# opt-in until its Mosaic lowering issue is isolated — see the comment in
+# _composite_pairroute_bwd
+PAIR_SPACE_GRADS = (
+    __import__("os").environ.get("SGS_PAIR_SPACE_GRADS", "0") == "1"
+)
+
 
 def _tile_grads(attrs, gimg, px, py, D, tril, triu):
     """Per-tile analytic gradients (9, K) — the reference backward
@@ -304,9 +316,8 @@ def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
     """Backward emitting gradients in COMPACT PAIR SPACE: (16, Pc) columns
     where tile t's in-table slots occupy [slot_start[t], slot_start[t+1])
     (slot_start = cumsum of min(seg_len, K)). Row 9 carries each slot's
-    segment key (attr-table row KEY_ROW, moved bit-exactly through selects
-    and rolls — never float arithmetic: the encodings are denormals and TPU
-    float ops flush them to zero). The gradient-routing sort then runs over
+    segment key (attr-table row KEY_ROW, a float VALUE — safe through any
+    float op). The gradient-routing sort then runs over
     Pc ~ real pairs instead of T * K slots + N dummy rows (the device trace
     showed that sort at 27.7 ms/step — the single largest op).
 
@@ -689,7 +700,7 @@ def composite_tiles_pallas_bwd_pairs(
 ):
     """Backward with COMPACT PAIR-SPACE output (see _backward_kernel_pairs):
     returns (16, pc) columns — rows 0..8 per-slot gradients, row 9 the
-    bitcast(key + 1) segment key — where tile t's in-table slots occupy
+    float(key + 1) segment key — where tile t's in-table slots occupy
     [slot_start[t], slot_start[t+1]), slot_start = cumsum(min(seg_len, K)).
     ``pc`` must statically bound sum(min(seg_len, K)) (min(max_pairs, T*K))."""
     T, A, K = attrs.shape
@@ -870,7 +881,7 @@ def _slot_attrs(packed, ids, mask):
     return jnp.pad(attrs, ((0, 0), (0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
-KEY_ROW = 9  # attr-table row carrying bitcast(segment key + 1)
+KEY_ROW = 9  # attr-table row carrying float(segment key + 1)
 
 
 def _pair_table(attrs_s, key_s, seg_start, seg_len, K):
@@ -878,10 +889,12 @@ def _pair_table(attrs_s, key_s, seg_start, seg_len, K):
 
     attrs_s: (9, P) tile-sorted attr columns (carried through the binning
     sort — no tile-order row gather, see ops/binning); key_s: (P,) int32
-    segment key per sorted pair, encoded into row KEY_ROW as
-    bitcast(key + 1) so the window kernel's zero fill decodes to -1."""
+    segment key per sorted pair, encoded into row KEY_ROW as the float
+    VALUE key + 1 (exact below 2^24, and a NORMAL float — bitcast int bits
+    are denormals that TPU float ops flush to zero, shape-dependently) so
+    the window kernel's zero fill decodes to -1."""
     A, P = attrs_s.shape
-    enc = jax.lax.bitcast_convert_type(key_s + 1, jnp.float32)[None]
+    enc = (key_s + 1).astype(jnp.float32)[None]
     ap = jnp.concatenate([attrs_s, enc], axis=0)  # (A + 1, P)
     Pa = -(-P // 128) * 128 + _window_lanes(K)
     ap = jnp.pad(ap, ((0, NUM_ATTR_ROWS - ap.shape[0]), (0, Pa - P)))
@@ -953,8 +966,24 @@ def _composite_pairroute_bwd(
     dummy_keys = jnp.where(key_of_gauss >= 0, key_of_gauss, N - 1)
     zeros_n = jnp.zeros((N,), jnp.float32)
 
-    if depth_block is not None:
-        # the blocked v2 kernel emits slot-space grads only
+    if depth_block is None and PAIR_SPACE_GRADS:
+        # EXPERIMENTAL (SGS_PAIR_SPACE_GRADS=1): ~13 ms/step faster at the
+        # 1M bench (lean sort over real pairs), and device-validated at
+        # some shapes (W=128/K=256: grads match XLA to 2.5e-5) — but
+        # CORRUPTS or crashes at others (T=256/K=512 truncation-heavy
+        # scenes return mostly-zero keys; K=1024/T=64 hits a TPU INTERNAL
+        # error), all while interpret mode is exact. Until the Mosaic
+        # lowering issue is isolated (see /tmp-style repros recorded in
+        # NOTES.md), the slot-space backward below stays the default.
+        pair_grads = composite_tiles_pallas_bwd_pairs(
+            attrs, g_tiles, img_wh, tile_size, pixel_offset, seg_len, pc
+        )  # (16, pc): rows 0..8 grads, row 9 keys
+        keys_pc = pair_grads[KEY_ROW].astype(jnp.int32) - 1
+        keys = jnp.where(keys_pc < 0, N - 1, keys_pc)
+        cols = tuple(pair_grads[a] for a in range(9))
+        lean_ok = True
+    else:
+        # slot-space grads + dummy-augmented reduction (always correct)
         seg_len_c = jnp.minimum(seg_len, K)
         slot_grads = composite_tiles_pallas_bwd(
             attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block,
@@ -962,21 +991,11 @@ def _composite_pairroute_bwd(
         )  # (T, 16, K) attr-major
         T, _, Kk = slot_grads.shape
         keys_slot = (
-            jax.lax.bitcast_convert_type(attrs[:, KEY_ROW, :], jnp.int32) - 1
+            attrs[:, KEY_ROW, :].astype(jnp.int32) - 1
         ).reshape(T * Kk)
         keys = jnp.where(keys_slot < 0, N - 1, keys_slot)
         cols = tuple(slot_grads[:, a, :].reshape(T * Kk) for a in range(9))
         lean_ok = False
-    else:
-        pair_grads = composite_tiles_pallas_bwd_pairs(
-            attrs, g_tiles, img_wh, tile_size, pixel_offset, seg_len, pc
-        )  # (16, pc): rows 0..8 grads, row 9 keys
-        keys_pc = (
-            jax.lax.bitcast_convert_type(pair_grads[KEY_ROW], jnp.int32) - 1
-        )
-        keys = jnp.where(keys_pc < 0, N - 1, keys_pc)
-        cols = tuple(pair_grads[a] for a in range(9))
-        lean_ok = True
 
     def _reduce(keys, cols):
         srt = jax.lax.sort((keys,) + cols, num_keys=1)
