@@ -24,7 +24,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def check(tag, n, W, Kk, scale, seed=3):
+def check(tag, n, W, Kk, scale, seed=3, cull=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -50,8 +50,14 @@ def check(tag, n, W, Kk, scale, seed=3):
         im, _ = render_params(p, model.alive, P, K, (W, H), cfg)
         return jnp.mean((im - target) ** 2)
 
-    cfg_x = RenderConfig(tile_size=16, max_per_tile=Kk, tile_chunk=8, max_pairs=mp)
-    cfg_r = RenderConfig(tile_size=16, max_per_tile=Kk, use_pallas=True, max_pairs=mp)
+    cfg_x = RenderConfig(
+        tile_size=16, max_per_tile=Kk, tile_chunk=8, max_pairs=mp,
+        cull_alpha_min=cull,
+    )
+    cfg_r = RenderConfig(
+        tile_size=16, max_per_tile=Kk, use_pallas=True, max_pairs=mp,
+        cull_alpha_min=cull,
+    )
     ok = True
     try:
         lx, gx = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, cfg_x)
@@ -89,6 +95,15 @@ def main():
         check("n8k_w128_K512_trunc", 8000, 128, 512, 0.08),
         check("n20k_w256_K512_trunc", 20000, 256, 512, 0.1),
         check("n50k_w256_K1024", 50000, 256, 1024, 0.03),
+        # round-1 failure shapes of the pair-space backward (fixed round 2):
+        # K=1024 at a tiny tile grid (T=64) hit a TPU INTERNAL error; the
+        # truncation-heavy shapes corrupted ~15 gaussians
+        check("n20k_w128_K1024_T64", 20000, 128, 1024, 0.05),
+        # the bench default culls at 1/255 — cull used to orphan gradient
+        # segments (key gaps, fixed structurally in ops/binning); both paths
+        # share the binning cull so the comparison stays exact
+        check("n8k_w128_K512_cull", 8000, 128, 512, 0.08, cull=1 / 255),
+        check("n50k_w256_K1024_cull", 50000, 256, 1024, 0.03, cull=1 / 255),
     ]
     sys.exit(0 if all(results) else 1)
 

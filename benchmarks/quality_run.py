@@ -1,0 +1,282 @@
+"""Real-scale quality run (VERDICT #3 / BASELINE north star, quality half).
+
+Trains the synthesized courtyard capture (data/synthetic.py — 100 cameras at
+the reference bundle's image scale, ~25k SfM-like init points) with the full
+reference schedule (30k iterations, densify [500, 15000] every 100, opacity
+reset every 3000, batch 3 — gs_control.py:24-49) on the real TPU, and logs
+train metrics + held-out-view PSNR/SSIM to a JSONL + summary JSON.
+
+The reference's end state for comparison: ~514k gaussians after 30k iters on
+the 100-image south-building scene (opacity.pt; ~9.7 h on a GTX 1660 Super,
+2025_11_06_ゼミ発表.md:33-37). This run demonstrates the same capability
+end-to-end on TPU, with actual quality numbers the reference never produced.
+
+  python benchmarks/quality_run.py --out docs/artifacts/quality_run \
+      [--steps 30000] [--cams 100] [--width 400 --height 266] [--smoke]
+
+Writes: metrics.jsonl (per-step), eval.jsonl (held-out PSNR/SSIM curve),
+summary.json, renders/*.png (held-out view over time + final), ckpt/.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/artifacts/quality_run")
+    ap.add_argument("--steps", type=int, default=30_000)
+    ap.add_argument("--cams", type=int, default=100)
+    ap.add_argument("--width", type=int, default=400)
+    ap.add_argument("--height", type=int, default=266)
+    ap.add_argument("--sfm-points", type=int, default=25_000)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--eval-holdout", type=int, default=20, help="every Nth cam held out")
+    ap.add_argument("--max-per-tile", type=int, default=1024)
+    ap.add_argument("--max-pairs", type=int, default=4_000_000)
+    ap.add_argument("--flush-every", type=int, default=50)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--smoke", action="store_true", help="tiny fast config (CI)")
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.steps = min(args.steps, 60)
+        args.cams = 6
+        args.width, args.height = 96, 64
+        args.sfm_points = 400
+        args.eval_every = 30
+        args.eval_holdout = 6
+        args.max_per_tile = 256
+        args.max_pairs = 100_000
+
+    import jax
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.colmap import ColmapScene
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.data.synthetic import (
+        make_courtyard_capture,
+        render_capture_images,
+    )
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render_params
+    from simplegaussiansplat_tk71_tpu.train.checkpoint import (
+        latest_checkpoint,
+        save_checkpoint,
+        save_reference_pt,
+    )
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+    from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+    from simplegaussiansplat_tk71_tpu.utils.knn import knn_mean_dist
+    from simplegaussiansplat_tk71_tpu.utils.logging import save_png
+    from simplegaussiansplat_tk71_tpu.utils.metrics import ssim
+
+    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(f"{args.out}/renders", exist_ok=True)
+    os.makedirs(f"{args.out}/ckpt", exist_ok=True)
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    on_tpu = backend not in ("cpu",)
+    cfg = TrainConfig(
+        iterations=args.steps,
+        max_per_tile=args.max_per_tile,
+        max_pairs=args.max_pairs,
+        cull_alpha_min=1 / 255,
+        use_pallas=on_tpu,
+        capacity_growth=1.6 if on_tpu else 1.0,
+        checkpoint_every=2000,
+    )
+    gt_cfg = RenderConfig(
+        tile_size=cfg.tile_size, max_per_tile=args.max_per_tile,
+        max_pairs=args.max_pairs, use_pallas=on_tpu,
+        cull_alpha_min=0.0,  # GT renders exact
+    )
+
+    t0 = time.time()
+    cap = make_courtyard_capture(
+        n_cams=args.cams, width=args.width, height=args.height,
+        gt_points_scale=(0.02 if args.smoke else 1.0),
+        sfm_points=args.sfm_points,
+    )
+    n_gt = int(cap.gt_model.num_alive())
+    log(f"GT scene: {n_gt} gaussians; rendering {args.cams} views "
+        f"{args.width}x{args.height}")
+    images = render_capture_images(cap, gt_cfg, batch=2 if args.smoke else 10)
+    images = np.clip(images, 0.0, 1.0)
+    log(f"GT rendered in {time.time() - t0:.1f}s, mean={images.mean():.3f}")
+    save_png(f"{args.out}/gt_cam0.png", images[0])
+
+    # train/holdout split
+    idx_all = np.arange(args.cams)
+    hold = idx_all[:: args.eval_holdout] if args.eval_holdout > 0 else idx_all[:0]
+    train_idx = np.setdiff1d(idx_all, hold)
+    log(f"train cams: {len(train_idx)}, held out: {list(hold)}")
+
+    scene = ColmapScene(
+        xyz=cap.sfm_xyz, rgb=cap.sfm_rgb,
+        P=cap.P[train_idx], K=cap.K[train_idx], wh=cap.wh[train_idx],
+        image_names=[f"cam{i}" for i in train_idx],
+    )
+    ds = SceneDataset(scene, images=images[train_idx])
+
+    model = init_from_points(
+        cap.sfm_xyz, knn_mean_dist(cap.sfm_xyz, cfg.knn_points),
+        opacity_init=cfg.opacity_init, sh_degree=cfg.sh_degree,
+    )
+    trainer = Trainer(model, ds, cfg, log_fn=log)
+    log(f"init: {trainer.n_alive} alive / capacity {model.capacity}, "
+        f"extent {trainer.extent:.2f}")
+
+    if args.resume:
+        latest = latest_checkpoint(f"{args.out}/ckpt")
+        if latest:
+            step = trainer.restore(latest)
+            log(f"resumed from {latest} at step {step}")
+
+    # held-out eval: batched render + metrics inside one jit (recompiles only
+    # per capacity bucket)
+    hold_P = jnp.asarray(cap.P[hold])
+    hold_K = jnp.asarray(cap.K[hold])
+    hold_gt = jnp.asarray(images[hold])
+    W, H = args.width, args.height
+
+    def _eval(params, alive):
+        img, _ = render_params(
+            params, alive, hold_P, hold_K, (W, H), trainer.render_cfg
+        )
+        img = jnp.clip(img, 0.0, 1.0)
+        mse = jnp.mean(jnp.square(img - hold_gt), axis=(1, 2, 3))
+        p = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+        s = jnp.asarray([
+            ssim(jnp.moveaxis(img[i], -1, 0), jnp.moveaxis(hold_gt[i], -1, 0))
+            for i in range(img.shape[0])
+        ])
+        return p, s, img[0]
+
+    eval_jit = jax.jit(_eval)
+
+    def run_eval(step):
+        p, s, im0 = jax.device_get(
+            eval_jit(trainer.model.trainable(), trainer.model.alive)
+        )
+        rec = {
+            "step": step,
+            "psnr": round(float(np.mean(p)), 3),
+            "ssim": round(float(np.mean(s)), 4),
+            "psnr_per_cam": [round(float(x), 2) for x in p],
+            "alive": trainer.n_alive,
+            "wall_min": round((time.time() - t_train) / 60, 1),
+        }
+        with open(f"{args.out}/eval.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        log(f"[eval @ {step}] PSNR {rec['psnr']:.2f} SSIM {rec['ssim']:.4f} "
+            f"alive={rec['alive']}")
+        save_png(f"{args.out}/renders/hold0_step{step:06d}.png", im0)
+        return rec
+
+    # metric buffering: run_step returns device scalars; fetch in bulk every
+    # flush_every steps (a per-step scalar fetch costs a full RPC round trip
+    # on the tunneled TPU)
+    buf = []
+    mfile = open(f"{args.out}/metrics.jsonl", "a")
+    t_train = time.time()
+    last_eval = None
+
+    def flush():
+        nonlocal buf
+        if not buf:
+            return
+        vals = jax.device_get(buf)
+        for step_i, alive_i, dt_i, m in vals:
+            rec = {
+                "step": step_i,
+                "loss": round(float(m["loss"]), 5),
+                "psnr": round(float(m["psnr"]), 3),
+                "l1": round(float(m["l1"]), 5),
+                "dssim": round(float(m["dssim"]), 5),
+                "alive": alive_i,
+                "truncated": int(m["truncated"]),
+                "sec_per_it": dt_i,
+            }
+            mfile.write(json.dumps(rec) + "\n")
+            if not bool(m["grads_finite"]):
+                log(f"WARNING: non-finite grads at step {step_i}")
+        mfile.flush()
+        last = vals[-1][3]
+        log(f"step {vals[-1][0]}: loss={float(last['loss']):.5f} "
+            f"psnr={float(last['psnr']):.2f} alive={vals[-1][1]} "
+            f"{vals[-1][2]:.3f}s/it "
+            f"({(time.time() - t_train) / 60:.1f} min)")
+        buf = []
+
+    t_step = time.time()
+    for P, K, imgs, idx in ds.batches(cfg.batch_size, seed=cfg.seed):
+        step_before_cap = trainer.model.capacity
+        m = trainer.run_step(P, K, imgs)
+        dt = round(time.time() - t_step, 4)
+        t_step = time.time()
+        buf.append((trainer.step, trainer.n_alive, dt, m))
+        if trainer.model.capacity != step_before_cap:
+            flush()  # donation: buffers from the old graph stay fetchable
+        if len(buf) >= args.flush_every:
+            flush()
+        if trainer.step % args.eval_every == 0:
+            flush()
+            last_eval = run_eval(trainer.step)
+            t_step = time.time()
+        if trainer.step % cfg.checkpoint_every == 0:
+            save_checkpoint(
+                f"{args.out}/ckpt/ckpt_{trainer.step}.npz",
+                trainer.model, trainer.opt_state, trainer.stats, trainer.step,
+            )
+            t_step = time.time()
+        if trainer.step >= args.steps:
+            break
+    flush()
+    mfile.close()
+
+    final = run_eval(trainer.step)
+    save_checkpoint(
+        f"{args.out}/ckpt/ckpt_{trainer.step}.npz",
+        trainer.model, trainer.opt_state, trainer.stats, trainer.step,
+    )
+    # reference-format export (gs_control.py:226-231) of the final model
+    save_reference_pt(f"{args.out}/reference_pt", trainer.model)
+
+    summary = {
+        "steps": trainer.step,
+        "cams": args.cams,
+        "image": [args.width, args.height],
+        "gt_gaussians": n_gt,
+        "init_points": int(len(cap.sfm_xyz)),
+        "final_alive": trainer.n_alive,
+        "holdout_psnr": final["psnr"],
+        "holdout_ssim": final["ssim"],
+        "wall_clock_min": round((time.time() - t_train) / 60, 1),
+        "backend": backend,
+        "reference_end_state": {
+            "gaussians": 514361,
+            "wall_clock_hours": 9.7,
+            "source": "opacity.pt + 2025_11_06 seminar notes (no PSNR published)",
+        },
+    }
+    with open(f"{args.out}/summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    log(json.dumps(summary))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,8 +74,15 @@ def densify_and_prune(
     split_n: int = 2,
     rng: np.random.Generator | None = None,
     reset_stats: bool = False,
+    capacity_growth: float = 1.0,
 ):
-    """Returns (new_model, new_stats, info dict). Host-side (numpy)."""
+    """Returns (new_model, new_stats, info dict). Host-side (numpy).
+
+    capacity_growth: when the live count outgrows the buffer, grow capacity
+    to at least ``capacity_growth * old_capacity`` (geometric, amortized
+    recompiles — a steadily-densifying run would otherwise recompile the jit
+    graph at nearly every densify event since buckets are only 4096 wide).
+    1.0 = tightest bucket (tests / CPU, where compiles are cheap)."""
     rng = rng or np.random.default_rng(0)
 
     # model storage is component-major (C, N) on device (NOTES.md layout
@@ -150,7 +157,7 @@ def densify_and_prune(
     n = len(mean)
     cap = model.capacity
     if n > cap:
-        cap = round_capacity(n)
+        cap = round_capacity(max(n, int(cap * capacity_growth)))
 
     def pack(x, fill=0.0):
         out = np.full((cap,) + x.shape[1:], fill, x.dtype)

@@ -14,6 +14,7 @@ import argparse
 import dataclasses
 import os
 import sys
+import typing
 
 import numpy as np
 
@@ -21,17 +22,30 @@ import numpy as np
 def _add_config_flags(p: argparse.ArgumentParser):
     from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
 
+    scalars = {"int": int, "float": float, "str": str}
     for f in dataclasses.fields(TrainConfig):
-        if f.type in ("int", "float", "str") or f.type in (int, float, str):
-            typ = {"int": int, "float": float, "str": str}.get(f.type, f.type)
+        # Optional[X] fields take X on the command line (None = "unset");
+        # resolve through either the string annotation or the typing object
+        if isinstance(f.type, str):
+            t = f.type
+        elif typing.get_origin(f.type) is typing.Union:
+            inner = [a for a in typing.get_args(f.type) if a is not type(None)]
+            t = inner[0].__name__ if len(inner) == 1 else str(f.type)
+        else:
+            t = getattr(f.type, "__name__", str(f.type))
+        t = t.removeprefix("typing.").removeprefix("Optional[").removesuffix("]")
+        flag = f"--{f.name.replace('_', '-')}"
+        if t in scalars:
             p.add_argument(
-                f"--{f.name.replace('_', '-')}", type=typ, default=None,
+                flag, type=scalars[t], default=None,
                 help=f"TrainConfig.{f.name} (default {f.default})",
             )
-        elif f.type in ("bool", bool):
+        elif t == "bool":
+            # two-way: --flag / --no-flag (store_true could never disable a
+            # default-True bool like pair_grad_route)
             p.add_argument(
-                f"--{f.name.replace('_', '-')}", action="store_true",
-                default=None,
+                flag, action=argparse.BooleanOptionalAction, default=None,
+                help=f"TrainConfig.{f.name} (default {f.default})",
             )
 
 
@@ -192,6 +206,11 @@ def cmd_eval(args):
             jnp.asarray(scene.K[i : i + 1]), (W, H), cfg,
         )
         gt = jnp.asarray(ds.get_images([i]))
+        # mixed-size scenes render at the padded max size; score each camera
+        # on its true region only (host-side crop, shapes may vary per i)
+        wi, hi = int(scene.wh[i, 0]), int(scene.wh[i, 1])
+        img = img[:, :hi, :wi]
+        gt = gt[:, :hi, :wi]
         p = float(psnr(img, gt))
         s = float(ssim(jnp.moveaxis(img, -1, 1), jnp.moveaxis(gt, -1, 1)))
         rows.append((scene.image_names[i], p, s))

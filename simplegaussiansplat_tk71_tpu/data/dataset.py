@@ -46,20 +46,41 @@ class SceneDataset:
         self._images = images
         self.extent = camera_extent(scene.P)
         wh = np.asarray(scene.wh)
-        if not (wh == wh[0]).all():
-            raise ValueError("all cameras must share one image size (static shapes)")
-        self.img_wh = (int(wh[0, 0]), int(wh[0, 1]))
+        # mixed per-camera sizes (reference: per-image W/H in the forward
+        # loop, gs_load_colmap.py:114-115 / gs_model.py:402-451): pad every
+        # image to the max size; static shapes stay intact and the loss
+        # masks the padding via pixel_mask()
+        self.wh = wh.astype(np.int32)
+        self.mixed_sizes = not (wh == wh[0]).all()
+        self.img_wh = (int(wh[:, 0].max()), int(wh[:, 1].max()))
 
     def __len__(self):
         return len(self.scene.P)
 
     def get_images(self, idx) -> np.ndarray:
-        if self._images is not None:
+        if isinstance(self._images, np.ndarray):
             return self._images[idx]
-        out = np.stack(
-            [load_image(self.root_dir, self.scene.image_names[i]) for i in idx]
-        )
+        W, H = self.img_wh
+        out = np.zeros((len(idx), H, W, 3), np.float32)
+        for row, i in enumerate(idx):
+            # preloaded list (mixed sizes) or lazy disk load; pad to max
+            if self._images is not None:
+                img = np.asarray(self._images[i])
+            else:
+                img = load_image(self.root_dir, self.scene.image_names[i])
+            out[row, : img.shape[0], : img.shape[1]] = img
         return out
+
+    def pixel_mask(self, idx) -> np.ndarray | None:
+        """(B, H, W) bool validity for a batch, or None when every camera
+        shares one size (the loss then skips masking entirely)."""
+        if not self.mixed_sizes:
+            return None
+        W, H = self.img_wh
+        ys = np.arange(H)[None, :, None]
+        xs = np.arange(W)[None, None, :]
+        wh = self.wh[np.asarray(idx)]
+        return (ys < wh[:, 1, None, None]) & (xs < wh[:, 0, None, None])
 
     def batches(self, batch_size: int, seed: int = 0, epochs: int | None = None):
         """Yield (P, K, images, indices) shuffled each epoch

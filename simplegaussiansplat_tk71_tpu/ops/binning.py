@@ -242,19 +242,29 @@ def bin_gaussians(
         thresh = 2.0 * jnp.log(
             jnp.maximum(op, 1e-30) * (1.0 / cull_alpha_min)
         )
-        keep = keep & (lam_min * d2 <= thresh)
+        # the first pair of each gaussian (local == 0) is exempt from the
+        # alpha cull: the gradient-routing segment keys must stay gap-free —
+        # a surviving gaussian (``surviving`` below) whose every pair is
+        # culled would leave a hole in the sorted key sequence, violating
+        # ops/segsum's increments<=1 precondition (the pairs it keeps carry
+        # ~zero gradients, so this is also quality-neutral). Truncation can
+        # still drop that pair past max_per_tile — the routed backward
+        # dummy-augments whenever truncated > 0 (rasterize_pallas).
+        keep = keep & ((lam_min * d2 <= thresh) | (local == 0))
     tile = jnp.where(keep, tile, T).astype(jnp.int32)
     depth_bits = jax.lax.bitcast_convert_type(col_p(4), jnp.int32)
     key_pair = col_p(5).astype(jnp.int32)
 
     # --- 4. pair sort by (tile, depth); the segment key and attr columns
     # ride along as payloads (near-free: see module docstring). When the
-    # tile id fits 13 bits, tile and a 4096-ulp-quantized depth PACK into
-    # one int32 key — the comparator cost scales with key count (2-key
-    # sorts measured ~20% slower at 2.2M rows), and depth ties within
-    # 4096 ulps (~0.05% relative) composite in arbitrary order, which is
-    # quality-neutral and consistent across every path (all share this
-    # binning). The owner id rides only when the dense table is built.
+    # tile id fits 13 bits, tile and a quantized depth PACK into one int32
+    # key — the comparator cost scales with key count (2-key sorts measured
+    # ~20% slower at 2.2M rows). The shift drops the low tile_bits + 1 bits
+    # of the depth, i.e. ties within 2^(tile_bits+1) ulps — worst case
+    # 16384 ulps (~0.2% relative) at tile_bits = 13 — composite in
+    # arbitrary order, which is quality-neutral and consistent across every
+    # path (all share this binning). The owner id rides only when the dense
+    # table is built.
     tile_bits = max(int(T).bit_length(), 1)
     packed_key = tile_bits <= 13
     if packed_key:

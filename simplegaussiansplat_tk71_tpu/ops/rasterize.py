@@ -29,7 +29,9 @@ gradient checkpointing (gs_model.py:799-803).
 
 Note on dL/dcol: the reference computes grad_l = w / l (gs_model.py:762-766),
 which sums over channels before dividing — its own spec (eq. for dL/dl) gives
-dL/dl_c = dL/dI_c * T * o * g, which is what we implement.
+dL/dl_c = dL/dI_c * T * o * g, which is the default here; pass
+``grad_color_wl=True`` (RenderConfig.grad_color_wl) to reproduce the
+reference's w/l formula bit-for-bit (parity switch, PARITY.md).
 
 Parity quirks vs. the reference covered by flags/tests:
 - pixel sample coordinates: ``pixel_offset`` (default 0.5 = pixel centers;
@@ -86,20 +88,20 @@ def _forward_dense(mu, con, col, op, mask, pix):
     return tile_img, (dx, dy, g, alpha, anti, t_excl, w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _composite(mu, con, col, op, mask, pix):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite(grad_color_wl, mu, con, col, op, mask, pix):
     tile_img, _ = _forward_dense(mu, con, col, op, mask, pix)
     return tile_img
 
 
-def _composite_fwd(mu, con, col, op, mask, pix):
+def _composite_fwd(grad_color_wl, mu, con, col, op, mask, pix):
     tile_img, _ = _forward_dense(mu, con, col, op, mask, pix)
     # Chunk-recompute checkpointing: save only the inputs (reference
     # gs_model.py:799-803 recomputes each chunk's forward in backward).
     return tile_img, (mu, con, col, op, mask, pix)
 
 
-def _composite_bwd(res, g_img):
+def _composite_bwd(grad_color_wl, res, g_img):
     mu, con, col, op, mask, pix = res
     _, (dx, dy, g, alpha, anti, t_excl, w) = _forward_dense(
         mu, con, col, op, mask, pix
@@ -115,8 +117,23 @@ def _composite_bwd(res, g_img):
     u = t_excl * ck - suffix / anti_safe  # (T, K, P)
     u = jnp.where(mask[:, :, None], u, 0.0)
 
-    # dL/dcol: sum_p dL/dI_c * T * alpha
-    g_col = jnp.einsum("tkp,tpc->tkc", t_excl * alpha, g_img, precision="highest")
+    if grad_color_wl:
+        # reference parity quirk (gs_model.py:762-766, grad_l = w / l): the
+        # per-fragment pixel grad w_k = <dL/dI, p_k> (summed over channels)
+        # divided elementwise by the color, zeroed where any channel is 0
+        # (the reference's (l != 0).all(dim=1) mask)
+        s = jnp.sum(wk, axis=-1)  # (T, K): sum_p w_k(p)
+        allnz = jnp.all(col != 0.0, axis=-1)  # (T, K)
+        g_col = jnp.where(
+            allnz[..., None],
+            s[..., None] / jnp.where(col == 0.0, 1.0, col),
+            0.0,
+        )
+    else:
+        # spec-correct dL/dcol_c = sum_p dL/dI_c * T * alpha
+        g_col = jnp.einsum(
+            "tkp,tpc->tkc", t_excl * alpha, g_img, precision="highest"
+        )
     # dL/dop: sum_p g * u
     g_op = jnp.sum(g * u, axis=-1)
     # m = op * u * g — shared scalar for mu / conic grads
@@ -158,6 +175,7 @@ def rasterize_tile_block(
     tile_size: int = 16,
     tile_chunk: int = 64,
     pixel_offset: float = 0.5,
+    grad_color_wl: bool = False,
 ):
     """Composite an arbitrary block of tiles.
 
@@ -199,7 +217,7 @@ def rasterize_tile_block(
         con = conic[ids_c]
         col = color[ids_c]
         op = opacity[ids_c]
-        return _composite(mu, con, col, op, mask_c, pix_c)
+        return _composite(grad_color_wl, mu, con, col, op, mask_c, pix_c)
 
     tile_imgs = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, tc, P, 3)
     return tile_imgs.reshape(Tb_pad, ts, ts, 3)[:Tb]
@@ -217,6 +235,7 @@ def rasterize_tiles(
     tile_chunk: int = 64,
     pixel_offset: float = 0.5,
     background=None,
+    grad_color_wl: bool = False,
 ):
     """Composite one camera's image from per-tile Gaussian id lists.
 
@@ -247,6 +266,7 @@ def rasterize_tiles(
         ids, mask, mean2d, conic, color, opacity,
         jnp.arange(T, dtype=jnp.int32), img_wh,
         tile_size=tile_size, tile_chunk=tile_chunk, pixel_offset=pixel_offset,
+        grad_color_wl=grad_color_wl,
     )
     image = tile_imgs.reshape(nty, ntx, ts, ts, 3).transpose(0, 2, 1, 3, 4)
     image = image.reshape(nty * ts, ntx * ts, 3)[:height, :width]

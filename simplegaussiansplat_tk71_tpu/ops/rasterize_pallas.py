@@ -103,10 +103,16 @@ def _alphas(attrs, px, py):
 
 def _depth_block(K):
     """Depth-block size for the MXU-cumsum kernels: the triangular matmul's
-    flops grow with D^2 while the carry chain length shrinks with 1/D."""
-    D = min(K, 256)
-    assert K % D == 0, (K, D)
-    return D
+    flops grow with D^2 while the carry chain length shrinks with 1/D.
+    Largest divisor of K that is <= 256 (any max_per_tile works — e.g. 384
+    gets D=192; worst case a prime K runs blockless at D=K... but K is
+    always a multiple of 128 in practice)."""
+    if K <= 256:
+        return K
+    for D in range(256, 0, -1):
+        if K % D == 0:
+            return D
+    return K
 
 
 def _tri_cumsum_masks(D):
@@ -234,10 +240,12 @@ def _suffix_sum_mxu(wk, D, triu):
 BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
 
 # compact pair-space gradient output (composite_tiles_pallas_bwd_pairs):
-# opt-in until its Mosaic lowering issue is isolated — see the comment in
-# _composite_pairroute_bwd
+# the default since round 2 — the round-1 corruption was two real bugs
+# (uninitialized tail lanes + cull-induced key gaps), both fixed; see the
+# comment in _composite_pairroute_bwd. SGS_PAIR_SPACE_GRADS=0 falls back to
+# the slot-space backward (also used by the depth_block path).
 PAIR_SPACE_GRADS = (
-    __import__("os").environ.get("SGS_PAIR_SPACE_GRADS", "0") == "1"
+    __import__("os").environ.get("SGS_PAIR_SPACE_GRADS", "1") == "1"
 )
 
 
@@ -901,21 +909,31 @@ def _pair_table(attrs_s, key_s, seg_start, seg_len, K):
     return pair_attrs_to_table(ap, seg_start, seg_len, K)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15)
+)
 def _composite_pairroute(
-    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
-    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss, tile_ids,
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps, sliced,
 ):
+    """tile_ids: None for the full tile grid, else (Ts,) global tile ids of
+    a contiguous slice (seg_start/seg_len must be sliced to match: they are
+    absolute offsets into the full tile-sorted pair arrays, so the window
+    table build works unchanged). ``sliced`` (static) forces the
+    dummy-augmented gradient reduction: a slice's pairs cover only a subset
+    of the surviving segments, so the lean gap-free-keys invariant does not
+    hold."""
     attrs = _pair_table(attrs_s, key_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
     return composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c,
+        tile_ids=tile_ids,
     )
 
 
 def _composite_pairroute_fwd(
-    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss,
-    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps,
+    packed, attrs_s, key_s, seg_start, seg_len, vid, key_of_gauss, tile_ids,
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps, sliced,
 ):
     # packed is numerically identical to the sort-transported attrs_s and is
     # unused in the forward — it exists as the differentiable anchor: the
@@ -924,11 +942,12 @@ def _composite_pairroute_fwd(
     attrs = _pair_table(attrs_s, key_s, seg_start, seg_len, K)
     seg_len_c = jnp.minimum(seg_len, K)
     out = composite_tiles_pallas(
-        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c
+        attrs, img_wh, tile_size, pixel_offset, depth_block, t_eps, seg_len_c,
+        tile_ids=tile_ids,
     )
     # save the windowed attrs (the kernel input) rather than rebuilding in
     # backward; row KEY_ROW doubles as the per-slot segment-key table
-    res = (attrs, seg_len, vid, key_of_gauss)
+    res = (attrs, seg_len, vid, key_of_gauss, tile_ids)
     return out, res
 
 
@@ -936,7 +955,8 @@ _EXPAND_BLOCK = 256  # one-hot matmul flops scale with the block size
 
 
 def _composite_pairroute_bwd(
-    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps, res, g_tiles
+    K, pc, img_wh, tile_size, pixel_offset, depth_block, t_eps, sliced,
+    res, g_tiles,
 ):
     """Route per-pair kernel gradients to per-gaussian rows with one
     payload-carrying sort and two MXU kernels (no scatter-add, no row
@@ -961,33 +981,47 @@ def _composite_pairroute_bwd(
     from simplegaussiansplat_tk71_tpu.ops.expand import expand_rows
     from simplegaussiansplat_tk71_tpu.ops.segsum import segment_sum_sorted
 
-    attrs, seg_len, vid, key_of_gauss = res
+    attrs, seg_len, vid, key_of_gauss, tile_ids = res
     N = vid.shape[0]
     dummy_keys = jnp.where(key_of_gauss >= 0, key_of_gauss, N - 1)
     zeros_n = jnp.zeros((N,), jnp.float32)
 
     if depth_block is None and PAIR_SPACE_GRADS:
-        # EXPERIMENTAL (SGS_PAIR_SPACE_GRADS=1): ~13 ms/step faster at the
-        # 1M bench (lean sort over real pairs), and device-validated at
-        # some shapes (W=128/K=256: grads match XLA to 2.5e-5) — but
-        # CORRUPTS or crashes at others (T=256/K=512 truncation-heavy
-        # scenes return mostly-zero keys; K=1024/T=64 hits a TPU INTERNAL
-        # error), all while interpret mode is exact. Until the Mosaic
-        # lowering issue is isolated (see /tmp-style repros recorded in
-        # NOTES.md), the slot-space backward below stays the default.
+        # Compact pair-space path: ~13 ms/step faster at the 1M bench (lean
+        # sort over real pairs instead of T*K slots + N dummies). The round-1
+        # device corruption had two causes, both fixed:
+        #   1. the kernel's manual window DMAs only cover
+        #      [0, sum(min(seg_len, K))) — lanes past that are UNINITIALIZED
+        #      HBM (garbage keys/grads; interpret mode zero-fills, which is
+        #      why it stayed exact). Masked below via the true pair count.
+        #   2. cull_alpha_min could cull every pair of a surviving segment,
+        #      leaving a key gap that violates ops/segsum's increments<=1
+        #      precondition — fixed structurally in ops/binning (the first
+        #      pair of each gaussian is cull-exempt), so only truncation can
+        #      now orphan a segment, and that triggers the dummied branch.
         pair_grads = composite_tiles_pallas_bwd_pairs(
-            attrs, g_tiles, img_wh, tile_size, pixel_offset, seg_len, pc
+            attrs, g_tiles, img_wh, tile_size, pixel_offset, seg_len, pc,
+            tile_ids=tile_ids,
         )  # (16, pc): rows 0..8 grads, row 9 keys
+        total = jnp.sum(jnp.minimum(seg_len, K))
+        lane_ok = jnp.arange(pc, dtype=jnp.int32) < total
         keys_pc = pair_grads[KEY_ROW].astype(jnp.int32) - 1
-        keys = jnp.where(keys_pc < 0, N - 1, keys_pc)
-        cols = tuple(pair_grads[a] for a in range(9))
-        lean_ok = True
+        keys_ok = lane_ok & (keys_pc >= 0) & (keys_pc < N)
+        # masked lanes -> pad segment N-1 with ZERO rows (merge-safe even
+        # when N-1 is a live segment)
+        keys = jnp.where(keys_ok, keys_pc, N - 1)
+        cols = tuple(
+            jnp.where(keys_ok, pair_grads[a], 0.0) for a in range(9)
+        )
+        # a tile SLICE sees only a subset of segments -> keys have gaps;
+        # the dummy-augmented reduction restores the invariant
+        lean_ok = not sliced
     else:
         # slot-space grads + dummy-augmented reduction (always correct)
         seg_len_c = jnp.minimum(seg_len, K)
         slot_grads = composite_tiles_pallas_bwd(
             attrs, g_tiles, img_wh, tile_size, pixel_offset, depth_block,
-            t_eps, seg_len_c,
+            t_eps, seg_len_c, tile_ids=tile_ids,
         )  # (T, 16, K) attr-major
         T, _, Kk = slot_grads.shape
         keys_slot = (
@@ -1030,8 +1064,8 @@ def _composite_pairroute_bwd(
         cols_layout=True,
     )  # (9, N) — matches the component-major packed anchor
     # attrs_s/key_s are sort transports of stop-gradient values: None
-    # (symbolic zero) cotangents
-    return (g_packed, None, None, None, None, None, None)
+    # (symbolic zero) cotangents; trailing None = tile_ids (int slice map)
+    return (g_packed, None, None, None, None, None, None, None)
 
 
 _composite_pairroute.defvjp(_composite_pairroute_fwd, _composite_pairroute_bwd)
@@ -1081,8 +1115,8 @@ def rasterize_tiles_pallas(
         pc = min(route.key_s.shape[0], T * K)
         out = _composite_pairroute(
             packed, route.attrs_s, route.key_s, route.seg_start,
-            route.seg_len, route.vid, route.key_of_gauss,
-            K, pc, img_wh, ts, pixel_offset, depth_block, t_eps,
+            route.seg_len, route.vid, route.key_of_gauss, None,
+            K, pc, img_wh, ts, pixel_offset, depth_block, t_eps, False,
         )
     else:
         assert ids.shape[0] == T
@@ -1126,5 +1160,57 @@ def rasterize_tile_block_pallas(
     out = _composite_pallas(
         attrs, seg_len, tile_idx.astype(jnp.int32), img_wh, ts, pixel_offset,
         depth_block, t_eps,
+    )
+    return jnp.swapaxes(out[:, :3, :], 1, 2).reshape(-1, ts, ts, 3)
+
+
+def rasterize_tile_block_pallas_routed(
+    route,
+    mean2d,
+    conic,
+    color,
+    opacity,
+    tile_idx,
+    img_wh,
+    tile_size: int = 16,
+    pixel_offset: float = 0.5,
+    depth_block: int | None = None,
+    t_eps: float = 1e-4,
+    max_per_tile: int | None = None,
+):
+    """Routed pair-space compositor for a contiguous tile slice.
+
+    The fast path of the 2-D gauss-sharded layout (parallel/gauss_sharding):
+    binning is tile-sorted, so a chip's tile range is a contiguous pair
+    window — slice seg_start/seg_len (absolute offsets into the full pair
+    arrays) and run the same windowed-DMA kernels as the single-chip routed
+    path. Gradients route per-pair -> per-gaussian with the always-correct
+    dummy-augmented reduction (a slice's pairs cover only a subset of the
+    surviving segments). route: TileBins from bin_gaussians(attrs=packed,
+    build_table=False). tile_idx: (Ts,) int32 contiguous global tile ids
+    (clamped duplicates at the end are fine: their cotangents are zero).
+    Returns (Ts, ts, ts, 3)."""
+    ts = tile_size
+    assert route.attrs_s is not None, "route needs binning(attrs=packed)"
+    K = route.ids.shape[1] if route.ids is not None else max_per_tile
+    assert K is not None, "max_per_tile required when route has no table"
+    packed = jnp.concatenate(
+        [mean2d, conic, opacity[None], color], axis=0
+    )  # (9, N) component-major
+    tile_idx = tile_idx.astype(jnp.int32)
+    Ts = tile_idx.shape[0]
+    seg_start = route.seg_start[tile_idx]
+    seg_len = route.seg_len[tile_idx]
+    # clamped duplicates (grid padding on the last chip) render empty: the
+    # compact backward's pc bound assumes each pair window appears ONCE
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), tile_idx[1:] == tile_idx[:-1]]
+    )
+    seg_len = jnp.where(dup, 0, seg_len)
+    pc = min(route.key_s.shape[0], Ts * K)
+    out = _composite_pairroute(
+        packed, route.attrs_s, route.key_s, seg_start, seg_len,
+        route.vid, route.key_of_gauss, tile_idx,
+        K, pc, img_wh, ts, pixel_offset, depth_block, t_eps, True,
     )
     return jnp.swapaxes(out[:, :3, :], 1, 2).reshape(-1, ts, ts, 3)

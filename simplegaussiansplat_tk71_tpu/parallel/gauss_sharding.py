@@ -85,36 +85,59 @@ def make_gauss_sharded_train_step(
     )
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
+        # the fast single-chip pipeline per tile-slice: routed pair-space
+        # kernels + the alpha-floor cull, exactly like render.render_params
+        routed = render_cfg.use_pallas and render_cfg.pair_grad_route
+        packed = (
+            jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
+            if routed
+            else None
+        )
         bins = binning.bin_gaussians(
             mean2d, bbox_half, depth, valid, img_wh,
             tile_size=ts,
             max_pairs=render_cfg.max_pairs,
             max_per_tile=render_cfg.max_per_tile,
+            build_table=not routed,
+            attrs=packed,
+            cull_alpha_min=render_cfg.cull_alpha_min,
         )
         idx = jax.lax.axis_index(gauss_axis)
-        ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
-        mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
         start = idx * shard_t
-        ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard_t, axis=0)
-        mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard_t, axis=0)
         tile_idx = jnp.minimum(start + jnp.arange(shard_t, dtype=jnp.int32), T - 1)
-        if render_cfg.use_pallas:
+        if routed:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
-                rasterize_tile_block_pallas,
+                rasterize_tile_block_pallas_routed,
             )
 
-            local = rasterize_tile_block_pallas(
-                ids_s, mask_s, mean2d, conic, color, opacity, tile_idx,
-                img_wh, tile_size=ts, pixel_offset=render_cfg.pixel_offset,
+            local = rasterize_tile_block_pallas_routed(
+                bins, mean2d, conic, color, opacity, tile_idx, img_wh,
+                tile_size=ts, pixel_offset=render_cfg.pixel_offset,
                 depth_block=render_cfg.depth_block, t_eps=render_cfg.t_eps,
+                max_per_tile=render_cfg.max_per_tile,
             )
         else:
-            local = rasterize.rasterize_tile_block(
-                ids_s, mask_s, mean2d, conic, color, opacity, tile_idx,
-                img_wh, tile_size=ts,
-                tile_chunk=min(render_cfg.tile_chunk, shard_t),
-                pixel_offset=render_cfg.pixel_offset,
-            )  # (shard_t, ts, ts, 3)
+            ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
+            mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
+            ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard_t, axis=0)
+            mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard_t, axis=0)
+            if render_cfg.use_pallas:
+                from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
+                    rasterize_tile_block_pallas,
+                )
+
+                local = rasterize_tile_block_pallas(
+                    ids_s, mask_s, mean2d, conic, color, opacity, tile_idx,
+                    img_wh, tile_size=ts, pixel_offset=render_cfg.pixel_offset,
+                    depth_block=render_cfg.depth_block, t_eps=render_cfg.t_eps,
+                )
+            else:
+                local = rasterize.rasterize_tile_block(
+                    ids_s, mask_s, mean2d, conic, color, opacity, tile_idx,
+                    img_wh, tile_size=ts,
+                    tile_chunk=min(render_cfg.tile_chunk, shard_t),
+                    pixel_offset=render_cfg.pixel_offset,
+                )  # (shard_t, ts, ts, 3)
         tiles = jax.lax.all_gather(
             local, gauss_axis, axis=0, tiled=True
         )  # (T_pad, ts, ts, 3); bwd: cotangent scatters back to owner chip

@@ -39,25 +39,50 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
     width, height = int(img_wh[0]), int(img_wh[1])
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
+        # same fast pipeline as render.render_params: routed pair-space
+        # kernels + alpha-floor cull, restricted to this chip's tile slice
+        routed = config.use_pallas and config.pair_grad_route
+        packed = (
+            jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
+            if routed
+            else None
+        )
         bins = binning.bin_gaussians(
             mean2d, bbox_half, depth, valid, img_wh,
             tile_size=config.tile_size,
             max_pairs=config.max_pairs,
             max_per_tile=config.max_per_tile,
+            build_table=not routed,
+            attrs=packed,
+            cull_alpha_min=config.cull_alpha_min,
         )
         idx = jax.lax.axis_index(axis_name)
-        ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
-        mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
         start = idx * shard
-        ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard, axis=0)
-        mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard, axis=0)
         tile_idx = start + jnp.arange(shard, dtype=jnp.int32)
         # padded tiles (id >= T) get fully-masked slots already (mask pad 0)
-        if config.use_pallas:
+        if routed:
+            from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
+                rasterize_tile_block_pallas_routed,
+            )
+
+            local = rasterize_tile_block_pallas_routed(
+                bins, mean2d, conic, color, opacity,
+                jnp.minimum(tile_idx, T - 1), img_wh,
+                tile_size=config.tile_size,
+                pixel_offset=config.pixel_offset,
+                depth_block=config.depth_block,
+                t_eps=config.t_eps,
+                max_per_tile=config.max_per_tile,
+            )  # (shard, ts, ts, 3)
+        elif config.use_pallas:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
                 rasterize_tile_block_pallas,
             )
 
+            ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
+            mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
+            ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard, axis=0)
+            mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard, axis=0)
             local = rasterize_tile_block_pallas(
                 ids_s, mask_s, mean2d, conic, color, opacity,
                 jnp.minimum(tile_idx, T - 1), img_wh,
@@ -67,6 +92,10 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
                 t_eps=config.t_eps,
             )  # (shard, ts, ts, 3)
         else:
+            ids = jnp.pad(bins.ids, ((0, T_pad - T), (0, 0)))
+            mask = jnp.pad(bins.mask, ((0, T_pad - T), (0, 0)))
+            ids_s = jax.lax.dynamic_slice_in_dim(ids, start, shard, axis=0)
+            mask_s = jax.lax.dynamic_slice_in_dim(mask, start, shard, axis=0)
             local = rasterize.rasterize_tile_block(
                 ids_s, mask_s, mean2d, conic, color, opacity,
                 jnp.minimum(tile_idx, T - 1), img_wh,
@@ -85,17 +114,30 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
         )
         return image
 
-    def render_fn(params, alive, Pm, Km):
+    def render_fn(params, alive, Pm, Km, with_visible: bool = False):
         proj = projection.project(
             params["mean"], params["quat"], params["log_scale"],
             params["logit_opacity"], params["sh"], Pm, Km, img_wh,
             sh_degree=config.sh_degree, bbox_max_frac=config.bbox_max_frac,
             alive=alive, snap_mean_to_int=config.snap_mean_to_int,
         )
-        return jax.vmap(per_camera)(
-            proj.mean2d, proj.conic, proj.depth, proj.color,
-            proj.opacity, proj.bbox_half, proj.valid,
+        # lax.map, not vmap: cameras composite sequentially so the P-sized
+        # binning buffers exist once, and the routed pallas kernels (manual
+        # DMA) trace normally instead of under a batching transform (same
+        # reasoning as render.render_params)
+        images = jax.lax.map(
+            lambda a: per_camera(*a),
+            (
+                proj.mean2d, proj.conic, proj.depth, proj.color,
+                proj.opacity, proj.bbox_half, proj.valid,
+            ),
         )
+        if with_visible:
+            # same visibility stat as the single-chip path (render.RenderAux
+            # .visible): in-frustum per >= 1 camera. Projection is replicated
+            # across chips, so this is exact on every chip.
+            return images, jnp.any(proj.valid, axis=0)
+        return images
 
     return render_fn
 
@@ -112,13 +154,13 @@ def make_tile_sharded_train_step(
 
     def step(params, alive, opt_state, stats, Pm, Km, target):
         def loss_fn(params):
-            images = render_fn(params, alive, Pm, Km)
+            images, visible = render_fn(params, alive, Pm, Km, with_visible=True)
             loss, (l1, dssim) = photometric_loss(
                 images, target, config.loss_lambda, config.ssim_window
             )
-            return loss, (l1, dssim)
+            return loss, (l1, dssim, visible)
 
-        (loss, (l1, dssim)), grads = jax.value_and_grad(
+        (loss, (l1, dssim, visible)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         # each chip's grads = n_dev x its tiles' share; mean = exact total
@@ -126,10 +168,12 @@ def make_tile_sharded_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         gnorm = jnp.linalg.norm(grads["mean"], axis=0)
+        # true frustum visibility (render.RenderAux.visible semantics), not
+        # the gnorm > 0 proxy — densify thresholds divide by visible_count,
+        # so the proxy skewed them for visible-but-zero-grad gaussians
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
-            visible_count=stats.visible_count
-            + (gnorm > 0).astype(jnp.int32),
+            visible_count=stats.visible_count + visible.astype(jnp.int32),
         )
         metrics = {"loss": loss, "l1": l1, "dssim": dssim}
         return params, opt_state, stats, metrics

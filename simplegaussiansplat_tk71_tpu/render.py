@@ -35,6 +35,10 @@ class RenderConfig(NamedTuple):
     # MXU segment sum in gaussian-major pair order instead of a 9-column
     # scatter-add transpose (ops/binning module docstring)
     snap_mean_to_int: bool = False  # reference parity (gs_model.py:361)
+    grad_color_wl: bool = False  # reference parity (gs_model.py:762-766):
+    # color gradient as the channel-summed pixel grad divided by the color
+    # (grad_l = w / l) instead of the spec-correct per-channel formula.
+    # XLA path only (use_pallas must be False).
 
 
 class RenderAux(NamedTuple):
@@ -66,6 +70,8 @@ def render_params(
     config: RenderConfig = RenderConfig(),
 ):
     """Render from a raw trainable-parameter dict (grad-friendly entry)."""
+    if config.grad_color_wl and config.use_pallas:
+        raise ValueError("grad_color_wl is a parity switch of the XLA path")
     proj = projection.project(
         params["mean"],
         params["quat"],
@@ -101,7 +107,11 @@ def render_params(
             # (T, K) id-table gather entirely (18 ms at bench scale)
             build_table=not routed,
             attrs=packed,
-            cull_alpha_min=config.cull_alpha_min if routed else 0.0,
+            # path-agnostic: the cull drops pairs before the sort, so the
+            # id-table (XLA / slot-space) and routed pair-space paths see
+            # identical surviving pairs — which also keeps device_check's
+            # XLA-vs-pallas comparison exact under the bench's 1/255 cull
+            cull_alpha_min=config.cull_alpha_min,
         )
         if config.use_pallas:
             from simplegaussiansplat_tk71_tpu.ops.rasterize_pallas import (
@@ -135,6 +145,7 @@ def render_params(
                 tile_size=config.tile_size,
                 tile_chunk=config.tile_chunk,
                 pixel_offset=config.pixel_offset,
+                grad_color_wl=config.grad_color_wl,
             )
         return image, bins.num_pairs, bins.dropped_pairs, bins.truncated
 

@@ -76,6 +76,37 @@ def latest_checkpoint(directory: str) -> str | None:
     return best
 
 
+def save_reference_pt(directory: str, model: GaussianModel):
+    """Export the five raw parameter tensors in the reference's checkpoint
+    format (torch.save of mean.pt / variance_q.pt / variance_scale.pt /
+    opacity.pt / color.pt — gs_control.py:226-231), so reference tooling can
+    consume a model trained here. Only alive rows are written (the reference
+    has no capacity padding). Round-trips through load_reference_pt."""
+    import torch
+
+    os.makedirs(directory, exist_ok=True)
+    alive = np.asarray(model.alive)
+    n = int(alive.sum())
+    # capacity padding keeps alive rows a prefix (densify compaction), but
+    # select defensively by mask anyway
+    def rows(x):  # component-major (C, cap) -> (n, C)
+        return np.ascontiguousarray(np.asarray(x).T[alive])
+
+    nb = (model.sh_degree + 1) ** 2
+    tensors = {
+        "mean.pt": rows(model.mean),
+        "variance_q.pt": rows(model.quat),
+        "variance_scale.pt": rows(model.log_scale),
+        "opacity.pt": np.asarray(model.logit_opacity)[alive].reshape(n, 1),
+        "color.pt": rows(model.sh).reshape(n, nb, 3),
+    }
+    for name, arr in tensors.items():
+        torch.save(
+            torch.from_numpy(np.ascontiguousarray(arr)),
+            os.path.join(directory, name),
+        )
+
+
 def load_reference_pt(directory: str, sh_degree: int = 2):
     """Load the reference's raw torch.save parameter files into a
     GaussianModel (mean.pt, variance_q.pt, variance_scale.pt, opacity.pt,

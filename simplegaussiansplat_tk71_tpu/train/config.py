@@ -56,10 +56,18 @@ class TrainConfig:
     bbox_max_frac: float = 0.4  # tile_max_width quirk, gs_model.py:364-365
     # None = auto: fused Pallas kernels on TPU, jnp path on CPU
     use_pallas: Optional[bool] = None
+    # pallas kernel knobs (RenderConfig counterparts; see render.py)
+    depth_block: Optional[int] = None  # blocked kernel w/ early-out
+    t_eps: float = 1e-4  # early-out transmittance threshold
+    cull_alpha_min: float = 0.0  # per-pair alpha-floor culling (1/255 = 3DGS)
+    pair_grad_route: bool = True  # pair-space gradient routing
 
     # behavior quirks
     reset_adam_every_step: bool = False  # reference does this (gs_control.py:199)
     reset_stats_after_densify: bool = False  # reference never resets (SURVEY 3.3)
+    # geometric capacity headroom on growth (amortizes jit recompiles on TPU,
+    # where each new capacity costs a 60-170 s remote compile; 1.0 = tightest)
+    capacity_growth: float = 1.0
 
     # io
     checkpoint_every: int = 1000  # gs_control.py:226

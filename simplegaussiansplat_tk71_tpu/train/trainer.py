@@ -39,16 +39,25 @@ from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
 def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optimizer):
     """Build the jitted train step over static shapes.
 
-    Signature: (params, alive, opt_state, stats, P, K, target)
+    Signature: (params, alive, opt_state, stats, P, K, target, mask)
       -> (params, opt_state, stats, metrics dict)
+
+    mask: per-camera pixel validity (B, H, W) for mixed-size scenes (pad-to-
+    max; see data/dataset.py), or None for the exact uniform-size path.
     """
 
-    def loss_fn(params, alive, P, K, target):
+    def loss_fn(params, alive, P, K, target, mask):
         images, aux = render_params(params, alive, P, K, img_wh, render_cfg)
         loss, (l1, dssim) = photometric_loss(
-            images, target, config.loss_lambda, config.ssim_window
+            images, target, config.loss_lambda, config.ssim_window, mask=mask
         )
-        mse = jnp.mean(jnp.square(images - target))
+        if mask is None:
+            mse = jnp.mean(jnp.square(images - target))
+        else:
+            m = mask.astype(images.dtype)[..., None]
+            mse = jnp.sum(jnp.square((images - target) * m)) / jnp.maximum(
+                jnp.sum(m) * images.shape[-1], 1.0
+            )
         return loss, (l1, dssim, mse, aux)
 
     # donate params/opt_state/stats: callers thread them through step-to-step
@@ -57,10 +66,10 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
     _donate = (0, 2, 3) if os.environ.get("SGS_DONATE", "1") == "1" else ()
 
     @functools.partial(jax.jit, donate_argnums=_donate)
-    def train_step(params, alive, opt_state, stats, P, K, target):
+    def train_step(params, alive, opt_state, stats, P, K, target, mask=None):
         (loss, (l1, dssim, mse, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, alive, P, K, target)
+        )(params, alive, P, K, target, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         # densify stats: accumulated ||dL/dmean|| + visibility counter
@@ -113,12 +122,20 @@ class Trainer:
             sh_degree=config.sh_degree,
             bbox_max_frac=config.bbox_max_frac,
             use_pallas=use_pallas,
+            depth_block=config.depth_block,
+            t_eps=config.t_eps,
+            cull_alpha_min=config.cull_alpha_min,
+            pair_grad_route=config.pair_grad_route,
         )
         self.model = model
         self.optimizer = make_optimizer(config)
         self.opt_state = self.optimizer.init(model.trainable())
         self.stats = DensifyStats.zeros(model.capacity)
         self.step = 0
+        # cached host-side alive count: it only changes at densify events,
+        # and num_alive() per step would cost a device reduction + fetch
+        # (~26 ms RPC over the tunneled TPU)
+        self.n_alive = int(model.num_alive())
         self.extent = dataset.extent if dataset is not None else 1.0
         self.log = log_fn
         self._rng = np.random.default_rng(config.seed)
@@ -129,8 +146,12 @@ class Trainer:
     def restore(self, path: str) -> int:
         """Resume from a checkpoint written by train(); returns the step.
 
-        The model (incl. capacity) is rebuilt from the stored arrays; the
-        optimizer state is restored when shapes match, else re-initialized.
+        One read of the .npz rebuilds model (incl. capacity), densify stats,
+        and the optimizer state. The optimizer state is reinitialized ONLY
+        when the checkpoint structurally cannot carry it (missing keys or
+        shape drift from a changed optimizer config), and the exact mismatch
+        is logged — a corrupt value (e.g. a truncated array) raises instead
+        of silently degrading to fresh Adam moments.
         """
         import jax.numpy as jnp
 
@@ -146,39 +167,56 @@ class Trainer:
             sh=jnp.asarray(data["model.sh"]),
             alive=jnp.asarray(data["model.alive"]),
         )
-        cap = self.model.capacity
         self.stats = DensifyStats(
             grad_norm_accum=jnp.asarray(data["stats.grad_norm_accum"]),
             visible_count=jnp.asarray(data["stats.visible_count"]),
         )
         self._reinit_opt()
-        try:
-            from simplegaussiansplat_tk71_tpu.train.checkpoint import (
-                load_checkpoint,
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
+        mismatch = []
+        new_leaves = []
+        for pathkey, like in leaves:
+            key = "opt" + "".join(str(p) for p in pathkey)
+            if key not in data:
+                mismatch.append(f"missing {key}")
+            elif data[key].shape != np.shape(like):
+                mismatch.append(
+                    f"{key}: {data[key].shape} != {np.shape(like)}"
+                )
+            else:
+                new_leaves.append(jnp.asarray(data[key]))
+        if mismatch:
+            self.log(
+                "[restore] optimizer state reinitialized — checkpoint "
+                f"mismatch: {'; '.join(mismatch[:4])}"
             )
-
-            _, self.opt_state, _, _ = load_checkpoint(
-                path, self.model, self.opt_state, self.stats
-            )
-        except Exception:
-            self.log(f"[restore] optimizer state mismatch; reinitialized")
+        else:
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self.step = int(data["step"])
+        self.n_alive = int(self.model.num_alive())
         return self.step
 
     def _reinit_opt(self):
+        # fresh Adam over the (possibly re-packed) tensors — the reference
+        # also rebuilds Adam at densify (gs_model.py:263). The jitted step
+        # function is NOT rebuilt: its closure (config/render_cfg/img_wh/
+        # optimizer) is unchanged, and jax.jit retraces per capacity shape on
+        # its own — rebuilding would discard the trace cache and force a full
+        # recompile (60-170 s remotely) at every densify event.
         self.opt_state = self.optimizer.init(self.model.trainable())
-        self._train_step = make_train_step(
-            self.config, self.render_cfg, self.dataset.img_wh, self.optimizer
-        )
 
-    def run_step(self, P, K, target):
-        """One optimization step on a batch of cameras."""
+    def run_step(self, P, K, target, mask=None):
+        """One optimization step on a batch of cameras.
+
+        mask: (B, H, W) pixel validity for mixed-size scenes (None = all
+        cameras share img_wh)."""
         params = self.model.trainable()
         if self.config.reset_adam_every_step:
             self.opt_state = self.optimizer.init(params)
         params, self.opt_state, self.stats, metrics = self._train_step(
             params, self.model.alive, self.opt_state, self.stats,
             jnp.asarray(P), jnp.asarray(K), jnp.asarray(target),
+            None if mask is None else jnp.asarray(mask),
         )
         self.model = self.model.with_trainable(params)
         self.step += 1
@@ -198,8 +236,10 @@ class Trainer:
                 split_n=cfg.split_n,
                 rng=self._rng,
                 reset_stats=cfg.reset_stats_after_densify,
+                capacity_growth=cfg.capacity_growth,
             )
             self._reinit_opt()
+            self.n_alive = int(info["alive"])
             self.log(
                 f"[densify @ {self.step}] split={info['split']} "
                 f"clone={info['clone']} prune={info['prune']} alive={info['alive']}"
@@ -242,11 +282,17 @@ class Trainer:
         logger = MetricsLogger(metrics_path)
         t_start = time.time()
         loss_sum = 0.0
-        for P, K, images, _ in self.dataset.batches(
+        for P, K, images, idx in self.dataset.batches(
             self.config.batch_size, seed=self.config.seed
         ):
             t0 = time.time()
-            metrics = self.run_step(P, K, images)
+            metrics = self.run_step(
+                P, K, images, mask=self.dataset.pixel_mask(idx)
+            )
+            # one bulk transfer (device_get starts every copy async, then
+            # blocks once) instead of a per-key fetch — each scalar fetch is
+            # a full RPC round-trip on a tunneled TPU
+            metrics = jax.device_get(metrics)
             loss = float(metrics["loss"])
             loss_sum += loss
             dt = time.time() - t0
@@ -259,7 +305,7 @@ class Trainer:
                 grads_finite=metrics["grads_finite"],
                 truncated=metrics["truncated"],
                 dropped_pairs=metrics["dropped_pairs"],
-                alive=int(self.model.num_alive()),
+                alive=self.n_alive,
                 sec_per_it=round(dt, 4),
             )
             if self.step % 10 == 0 or self.step <= 3:
@@ -267,7 +313,7 @@ class Trainer:
                     f"step {self.step}: loss={loss:.5f} "
                     f"avg={loss_sum / self.step:.5f} "
                     f"psnr={float(metrics['psnr']):.2f} {dt:.3f}s/it "
-                    f"alive={int(self.model.num_alive())} "
+                    f"alive={self.n_alive} "
                     f"trunc={int(metrics['truncated'])}"
                 )
             if not bool(metrics["grads_finite"]):

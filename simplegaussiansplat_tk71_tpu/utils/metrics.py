@@ -49,18 +49,14 @@ def _conv_last(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def ssim(
+def ssim_map(
     img1: jnp.ndarray,
     img2: jnp.ndarray,
     max_val: float = 1.0,
     window_size: int = 11,
     sigma: float = 1.5,
 ) -> jnp.ndarray:
-    """Mean SSIM over (..., H, W) images (channels folded into leading dims).
-
-    Matches kornia.metrics.ssim(window_size=11, max_val=1.0).mean() used by
-    the reference loss (gs_control.py:180).
-    """
+    """Per-pixel SSIM map over (..., H, W) (same shape as the inputs)."""
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     blur = functools.partial(_blur, window_size=window_size, sigma=sigma)
@@ -74,7 +70,22 @@ def ssim(
     s12 = blur(img1 * img2) - mu12
     num = (2 * mu12 + c1) * (2 * s12 + c2)
     den = (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    max_val: float = 1.0,
+    window_size: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Mean SSIM over (..., H, W) images (channels folded into leading dims).
+
+    Matches kornia.metrics.ssim(window_size=11, max_val=1.0).mean() used by
+    the reference loss (gs_control.py:180).
+    """
+    return jnp.mean(ssim_map(img1, img2, max_val, window_size, sigma))
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:

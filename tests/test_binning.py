@@ -174,3 +174,42 @@ def test_cull_alpha_min_drops_unreachable_pairs():
     # a contributing pair above it)
     diff2 = float(jnp.max(jnp.abs(img2 - img0)))
     assert diff2 < 1e-3, diff2
+
+
+def test_cull_never_orphans_a_surviving_segment():
+    """Gradient-routing invariant: every surviving gaussian (key_of_gauss
+    >= 0) must keep at least one pair inside a tile window whenever
+    truncated == 0 — the lean pair-space backward relies on gap-free sorted
+    segment keys (ops/segsum increments<=1 precondition). An aggressive
+    cull_alpha_min used to orphan segments whose every pair failed the
+    alpha-reachability test; the first pair of each gaussian is now
+    cull-exempt."""
+    rng = np.random.default_rng(23)
+    n = 500
+    mean2d = jnp.asarray(rng.uniform(-10, 140, (2, n)).astype(np.float32))
+    bbox = jnp.asarray(rng.uniform(0.5, 30, (2, n)).astype(np.float32))
+    depth = jnp.asarray(rng.uniform(0.1, 9, n).astype(np.float32))
+    valid = jnp.asarray(rng.random(n) < 0.9)
+    # tiny opacity + sharp conic -> most pairs fail a high alpha floor
+    attrs = jnp.asarray(rng.normal(size=(9, n)).astype(np.float32))
+    attrs = attrs.at[2].set(jnp.abs(attrs[2]) + 2.0)  # conic a
+    attrs = attrs.at[3].set(0.0)  # conic b
+    attrs = attrs.at[4].set(jnp.abs(attrs[4]) + 2.0)  # conic c
+    attrs = attrs.at[5].set(0.02)  # opacity
+    bins = binning.bin_gaussians(
+        mean2d, bbox, depth, valid, (128, 96), 16, max_pairs=8192,
+        max_per_tile=256, build_table=False, attrs=attrs,
+        expand_transport=False, cull_alpha_min=0.015,
+    )
+    assert int(bins.truncated) == 0
+    key_s = np.asarray(bins.key_s)
+    seg_start = np.asarray(bins.seg_start)
+    seg_len = np.asarray(bins.seg_len)
+    in_table = set()
+    for t in range(seg_start.shape[0]):
+        s = seg_start[t]
+        in_table.update(key_s[s : s + min(seg_len[t], 256)])
+    n_live = int(bins.n_live)
+    missing = set(range(n_live)) - in_table
+    assert not missing, f"orphaned segments: {sorted(missing)[:10]}"
+    assert n_live > 0 and int(jnp.sum(bins.seg_len)) > 0

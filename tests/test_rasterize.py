@@ -70,7 +70,7 @@ def test_custom_vjp_matches_autodiff():
     )
 
     def loss_custom(mu, con, col, op):
-        out = rasterize._composite(mu, con, col, op, mask, pix)
+        out = rasterize._composite(False, mu, con, col, op, mask, pix)
         return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
 
     def loss_plain(mu, con, col, op):
@@ -96,7 +96,7 @@ def test_custom_vjp_finite_differences():
 
     def loss(op):
         out = rasterize._composite(
-            jnp.asarray(mean2d)[ids], jnp.asarray(conic)[ids],
+            False, jnp.asarray(mean2d)[ids], jnp.asarray(conic)[ids],
             jnp.asarray(color)[ids], op[ids], mask, pix,
         )
         return jnp.sum(out)
