@@ -223,7 +223,12 @@ def bin_gaussians(
     ) + lx
     pair_valid = j < total
     keep = pair_valid & (tile < T)
-    if cull_alpha_min > 0.0 and attrs is not None:
+    if cull_alpha_min > 0.0 and attrs is None:
+        # never skip the cull silently: the caller must supply the packed
+        # attr columns (mean2d/conic/opacity are rows 0..5) or the culled
+        # and uncculled paths would composite different pair sets
+        raise ValueError("cull_alpha_min > 0 requires attrs")
+    if cull_alpha_min > 0.0:
         # conservative reachability: q >= lam_min(conic) * d(rect, mean)^2,
         # keep iff op * exp(-q_lb / 2) could reach cull_alpha_min
         mx, my = col_p(8), col_p(9)

@@ -150,9 +150,8 @@ def _tri_matmul(tri, x):
     return acc
 
 
-def _blk_alphas(attrs, b, D, px, py):
-    """Forward core on depth block b: (D, P) dx, dy, alpha + (D, 1) rows."""
-    blk = attrs[:, b * D:(b + 1) * D]
+def _blk_alphas(blk, px, py):
+    """Forward core on one (A, D) depth-block slice: (D, P) dx/dy/alpha."""
     mux = blk[0, :][:, None]
     muy = blk[1, :][:, None]
     ca = blk[2, :][:, None]
@@ -163,10 +162,17 @@ def _blk_alphas(attrs, b, D, px, py):
     dy = py - muy
     q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
     alpha = op * jnp.exp(-0.5 * q)
-    return blk, dx, dy, ca, cb, cc, op, alpha
+    return dx, dy, ca, cb, cc, op, alpha
 
 
-def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, out_ref):
+# log T below which exp(log T + excl) is EXACTLY 0.0f for every pixel
+# (excl <= 0; exp(-120) ~ 8e-53, far under the smallest f32 denormal), so
+# skipping the remaining depth blocks is bit-exact, not an approximation.
+_LOG_T_DEAD = -120.0
+
+
+def _forward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref,
+                    tile_ids_ref, attrs_ref, out_ref):
     # Each program composites ``tile_block`` tiles from one VMEM block:
     # amortizes per-program/DMA overhead (grid T -> T / tile_block).
     # tile_ids (SMEM) maps grid position -> global tile id, so a sharded
@@ -178,18 +184,33 @@ def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, 
     # shift/select chain on the VPU (~40 VPU ops/element -> ~8, the kernel
     # was VPU-bound). anti in (0, 1] so log is total; exp underflow to 0 at
     # T < 1e-37 matches the saturated-tile semantics.
+    #
+    # The depth-block loop is bounded by the tile's true list length
+    # (seg_len, SMEM — skips the K-padding tail; the dense table is sized
+    # for the worst tile) and exits once every pixel's log-transmittance is
+    # below _LOG_T_DEAD. Both bounds are BIT-EXACT skips: slots past
+    # seg_len have op == 0, and a dead T exp-underflows to exactly 0
+    # (official-3DGS saturation termination, the exact-arithmetic limit of
+    # the reference's T != 0 mask, gs_model.py:575-578).
     pid = pl.program_id(0)
     K = attrs_ref.shape[-1]
     D = _depth_block(K)
     P = ts * ts
     tril, _ = _tri_cumsum_masks(D)
     for t in range(tile_block):
-        attrs = attrs_ref[t]  # (A, K)
-        px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
-        img = jnp.zeros((3, P), jnp.float32)
-        log_carry = jnp.zeros((1, P), jnp.float32)
-        for b in range(K // D):
-            blk, _, _, _, _, _, _, alpha = _blk_alphas(attrs, b, D, px, py)
+        gi = pid * tile_block + t
+        px, py = _pixel_coords(tile_ids_ref[gi], ntx, ts, pixel_offset)
+        nb = pl.cdiv(jnp.minimum(seg_len_ref[gi], K), D)
+
+        def cond(c):
+            b, img, log_carry = c
+            return jnp.logical_and(b < nb, jnp.max(log_carry) > _LOG_T_DEAD)
+
+        def body(c):
+            b, img, log_carry = c
+            start = pl.multiple_of(b * D, D)
+            blk = attrs_ref[t, :, pl.ds(start, D)]  # (A, D)
+            _, _, _, _, _, _, alpha = _blk_alphas(blk, px, py)
             loganti = jnp.log(jnp.maximum(1.0 - alpha, 1e-37))
             excl = _tri_matmul(tril, loganti)  # (D, P) excl in-block log-T
             t_excl = jnp.exp(excl + log_carry)
@@ -200,6 +221,13 @@ def _forward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, 
                 precision=jax.lax.Precision.HIGHEST,
             )
             log_carry = log_carry + excl[D - 1:D, :] + loganti[D - 1:D, :]
+            return b + 1, img, log_carry
+
+        _, img, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((3, P), jnp.float32),
+             jnp.zeros((1, P), jnp.float32)),
+        )
         out_ref[t, :, :] = jnp.pad(img, ((0, 5), (0, 0)))
 
 
@@ -600,11 +628,17 @@ def composite_tiles_pallas(
     T_pad = -(-T // TB) * TB
     if T_pad != T:
         attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0), (0, 0)))
+    if seg_len is None:
+        # no list lengths known (id-table path): process all K slots
+        seg_len_p = jnp.full((T_pad,), K, jnp.int32)
+    else:
+        seg_len_p = jnp.pad(seg_len.astype(jnp.int32), (0, T_pad - T))
     kernel = functools.partial(_forward_kernel, ntx, ts, pixel_offset, TB)
     out = pl.pallas_call(
         kernel,
         grid=(T_pad // TB,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
             pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -617,7 +651,7 @@ def composite_tiles_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs)
+    )(seg_len_p, _tile_ids_or_arange(tile_ids, T, T_pad), attrs)
     return out[:T]
 
 

@@ -88,9 +88,10 @@ def make_gauss_sharded_train_step(
         # the fast single-chip pipeline per tile-slice: routed pair-space
         # kernels + the alpha-floor cull, exactly like render.render_params
         routed = render_cfg.use_pallas and render_cfg.pair_grad_route
+        # attrs required whenever the alpha cull is on (see render.py)
         packed = (
             jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
-            if routed
+            if routed or render_cfg.cull_alpha_min > 0.0
             else None
         )
         bins = binning.bin_gaussians(

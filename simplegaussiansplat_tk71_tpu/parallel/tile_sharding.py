@@ -42,9 +42,10 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
         # same fast pipeline as render.render_params: routed pair-space
         # kernels + alpha-floor cull, restricted to this chip's tile slice
         routed = config.use_pallas and config.pair_grad_route
+        # attrs required whenever the alpha cull is on (see render.py)
         packed = (
             jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
-            if routed
+            if routed or config.cull_alpha_min > 0.0
             else None
         )
         bins = binning.bin_gaussians(

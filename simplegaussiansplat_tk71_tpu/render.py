@@ -89,9 +89,13 @@ def render_params(
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
         routed = config.use_pallas and config.pair_grad_route
+        # the alpha cull needs the attr columns even on the id-table (XLA)
+        # path — without them binning would silently skip the cull and the
+        # two paths would composite DIFFERENT pair sets (caught by
+        # device_check's cull configs on v5e)
         packed = (
             jnp.concatenate([mean2d, conic, opacity[None], color], axis=0)
-            if routed
+            if routed or config.cull_alpha_min > 0.0
             else None
         )  # (9, N): the render attrs ride the binning sort (see ops/binning)
         bins = binning.bin_gaussians(

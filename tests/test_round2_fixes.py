@@ -325,3 +325,63 @@ def test_mixed_camera_sizes_training_reduces_loss():
         if i >= 29:
             break
     assert float(m["loss"]) < 0.6 * first, (first, float(m["loss"]))
+
+
+def test_cull_is_path_agnostic_xla_vs_routed():
+    """The alpha-floor cull must drop the SAME pairs on the id-table (XLA)
+    path and the routed pallas path: render_params must hand binning the
+    packed attr columns even when use_pallas=False (a silently skipped cull
+    made the two paths composite different pair sets — caught on v5e by
+    device_check's cull configs)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.render import RenderConfig, render_params
+
+    n, W, H, cull = 400, 64, 64, 1.0 / 255
+    rng = np.random.default_rng(5)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    xyz[:, 2] = xyz[:, 2] * 0.5 + 6
+    model = init_from_points(xyz, np.full(n, 0.2, np.float32))
+    sh = np.array(model.sh)
+    sh[0:3, :n] = rng.uniform(0.2, 2.5, (n, 3)).T
+    model = model._replace(sh=jnp.asarray(sh))
+    P = jnp.asarray(np.eye(3, 4, dtype=np.float32)[None])
+    K = jnp.asarray([[[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]]])
+    target = jnp.zeros((1, H, W, 3), jnp.float32)
+    params = model.trainable()
+
+    def loss(p, cfg):
+        im, _ = render_params(p, model.alive, P, K, (W, H), cfg)
+        return jnp.mean((im - target) ** 2)
+
+    base = dict(tile_size=16, max_per_tile=64, max_pairs=8192,
+                cull_alpha_min=cull)
+    lx, gx = jax.value_and_grad(loss)(
+        params, RenderConfig(tile_chunk=4, **base)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        lr, gr = jax.value_and_grad(loss)(
+            params, RenderConfig(use_pallas=True, **base)
+        )
+    np.testing.assert_allclose(float(lx), float(lr), rtol=1e-5, atol=1e-7)
+    for k in gx:
+        a, b = np.asarray(gx[k]), np.asarray(gr[k])
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-5 * (np.abs(a).max() + 1e-12),
+            err_msg=k,
+        )
+
+
+def test_binning_rejects_cull_without_attrs():
+    from simplegaussiansplat_tk71_tpu.ops import binning
+
+    mean2d = jnp.zeros((2, 8))
+    bbox = jnp.ones((2, 8))
+    depth = jnp.ones((8,))
+    valid = jnp.ones((8,), bool)
+    with pytest.raises(ValueError, match="requires attrs"):
+        binning.bin_gaussians(
+            mean2d, bbox, depth, valid, (64, 64), tile_size=16,
+            max_pairs=256, max_per_tile=32, cull_alpha_min=1.0 / 255,
+        )
