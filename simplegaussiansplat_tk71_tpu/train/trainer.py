@@ -33,6 +33,7 @@ from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
 from simplegaussiansplat_tk71_tpu.render import RenderConfig, render_params
 from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
 from simplegaussiansplat_tk71_tpu.train.loss import photometric_loss
+from simplegaussiansplat_tk71_tpu.train.hyper import HyperState
 from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
 
 
@@ -128,6 +129,11 @@ class Trainer:
             pair_grad_route=config.pair_grad_route,
         )
         self.model = model
+        # C7: densify/prune thresholds ride in a dedicated hyperparameter
+        # container (frozen by default, like the reference's
+        # _GS_model_with_ultra_param — gs_model.py:76-89); densify events
+        # below read through it so a meta-updated value takes effect live.
+        self.hyper = HyperState.from_config(config)
         self.optimizer = make_optimizer(config)
         self.opt_state = self.optimizer.init(model.trainable())
         self.stats = DensifyStats.zeros(model.capacity)
@@ -230,9 +236,9 @@ class Trainer:
                 self.model,
                 self.stats,
                 self.extent,
-                grad_threshold=cfg.grad_threshold,
-                percent_dense=cfg.percent_dense,
-                prune_min_opacity=cfg.prune_min_opacity,
+                grad_threshold=self.hyper.value("grad_threshold"),
+                percent_dense=self.hyper.value("percent_dense"),
+                prune_min_opacity=self.hyper.value("prunning_min_opacity"),
                 split_n=cfg.split_n,
                 rng=self._rng,
                 reset_stats=cfg.reset_stats_after_densify,
