@@ -57,6 +57,7 @@ class TrainConfig:
     # None = auto: fused Pallas kernels on TPU, jnp path on CPU
     use_pallas: Optional[bool] = None
     # pallas kernel knobs (RenderConfig counterparts; see render.py)
+    morton_reorder: bool = False  # Z-order gaussians at densify events
     depth_block: Optional[int] = None  # blocked kernel w/ early-out
     t_eps: float = 1e-4  # early-out transmittance threshold
     cull_alpha_min: float = 0.0  # per-pair alpha-floor culling (1/255 = 3DGS)

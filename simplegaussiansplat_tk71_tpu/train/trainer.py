@@ -244,6 +244,14 @@ class Trainer:
                 reset_stats=cfg.reset_stats_after_densify,
                 capacity_growth=cfg.capacity_growth,
             )
+            if cfg.morton_reorder:
+                # spatial row order (adaptive/reorder.py); safe here because
+                # the optimizer is rebuilt below anyway
+                from simplegaussiansplat_tk71_tpu.adaptive.reorder import (
+                    morton_reorder,
+                )
+
+                self.model, self.stats = morton_reorder(self.model, self.stats)
             self._reinit_opt()
             self.n_alive = int(info["alive"])
             self.log(
