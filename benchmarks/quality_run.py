@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--flush-every", type=int, default=50)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true", help="tiny fast config (CI)")
+    ap.add_argument("--max-alive", type=int, default=1_500_000,
+                    help="absolute population cap (reference run ended ~514k)")
+    ap.add_argument("--densify-stat", default="grad2d",
+                    choices=["grad2d", "grad3d"])
+    ap.add_argument("--max-hours", type=float, default=0.0,
+                    help="wall-clock budget; >0 = checkpoint and exit "
+                    "cleanly when exceeded (resume with --resume)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -61,6 +68,12 @@ def main():
         args.max_pairs = 100_000
 
     import jax
+
+    # persistent compilation cache: densify capacity growth recompiles the
+    # step at each new bucket (60s-17min over the tunneled TPU); a restart /
+    # resume replays them from disk instead (VERDICT round-2 weak #8)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from simplegaussiansplat_tk71_tpu.data.colmap import ColmapScene
@@ -95,8 +108,18 @@ def main():
         max_pairs=args.max_pairs,
         cull_alpha_min=1 / 255,
         use_pallas=on_tpu,
-        capacity_growth=1.6 if on_tpu else 1.0,
+        capacity_growth=2.0 if on_tpu else 1.0,
         checkpoint_every=2000,
+        # round-3 densify control (adaptive/densify docstring): official-3DGS
+        # 2-D statistic + stat reset + growth caps + screen prune
+        densify_stat=args.densify_stat,
+        max_alive=args.max_alive,
+        growth_limit=2.0,
+        max_screen_size=20.0,
+        preserve_adam_on_densify=True,
+        reset_stats_after_densify=True,
+        adapt_max_per_tile=True,
+        max_per_tile_limit=2048,
     )
     gt_cfg = RenderConfig(
         tile_size=cfg.tile_size, max_per_tile=args.max_per_tile,
@@ -135,7 +158,16 @@ def main():
         cap.sfm_xyz, knn_mean_dist(cap.sfm_xyz, cfg.knn_points),
         opacity_init=cfg.opacity_init, sh_degree=cfg.sh_degree,
     )
-    trainer = Trainer(model, ds, cfg, log_fn=log)
+
+    # per-event densify telemetry (VERDICT round-2 next #1: instrument every
+    # event — selection counts, score percentiles, truncation at event time)
+    dfile = open(f"{args.out}/densify.jsonl", "a")
+
+    def on_densify(info):
+        dfile.write(json.dumps(info, default=float) + "\n")
+        dfile.flush()
+
+    trainer = Trainer(model, ds, cfg, log_fn=log, densify_cb=on_densify)
     log(f"init: {trainer.n_alive} alive / capacity {model.capacity}, "
         f"extent {trainer.extent:.2f}")
 
@@ -244,8 +276,16 @@ def main():
             t_step = time.time()
         if trainer.step >= args.steps:
             break
+        if (
+            args.max_hours > 0
+            and (time.time() - t_train) > args.max_hours * 3600
+        ):
+            log(f"[budget] wall-clock budget {args.max_hours}h exceeded at "
+                f"step {trainer.step}; checkpointing and exiting cleanly")
+            break
     flush()
     mfile.close()
+    dfile.close()
 
     final = run_eval(trainer.step)
     save_checkpoint(

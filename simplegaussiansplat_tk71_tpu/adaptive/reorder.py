@@ -27,11 +27,16 @@ def _spread_bits_10(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def morton_codes(xyz: np.ndarray) -> np.ndarray:
-    """(N, 3) positions -> (N,) uint64 Z-order codes (10 bits/axis)."""
+def morton_codes(xyz: np.ndarray, bbox_of: np.ndarray | None = None) -> np.ndarray:
+    """(N, 3) positions -> (N,) uint64 Z-order codes (10 bits/axis).
+
+    bbox_of: optional boolean row mask restricting the quantization bounding
+    box (e.g. alive rows only — zero-padded dead rows would otherwise stretch
+    the box and compress the alive rows' quantization range)."""
     xyz = np.asarray(xyz, np.float64)
-    lo = xyz.min(axis=0)
-    span = np.maximum(xyz.max(axis=0) - lo, 1e-12)
+    ref = xyz[bbox_of] if bbox_of is not None and bbox_of.any() else xyz
+    lo = ref.min(axis=0)
+    span = np.maximum(ref.max(axis=0) - lo, 1e-12)
     q = np.clip((xyz - lo) / span * 1023.0, 0.0, 1023.0).astype(np.uint64)
     return (
         _spread_bits_10(q[:, 0])
@@ -47,7 +52,7 @@ def morton_permutation(mean_cn: np.ndarray, alive: np.ndarray) -> np.ndarray:
     """
     mean = np.asarray(mean_cn).T  # (C, 3)
     alive = np.asarray(alive).astype(bool)
-    codes = morton_codes(mean)
+    codes = morton_codes(mean, bbox_of=alive)
     # dead rows sort after every alive row regardless of position
     key = np.where(alive, codes, np.uint64(0xFFFFFFFFFFFFFFFF))
     return np.argsort(key, kind="stable")
@@ -69,9 +74,15 @@ def apply_permutation(model, stats, perm: np.ndarray):
         sh=take(model.sh),
         alive=take(model.alive),
     )
+    def take_opt(x):  # per-gaussian stat fields may be None (legacy stats)
+        return None if x is None else take(x)
+
     stats = stats._replace(
         grad_norm_accum=take(stats.grad_norm_accum),
         visible_count=take(stats.visible_count),
+        grad2d_accum=take_opt(stats.grad2d_accum),
+        vis2d_count=take_opt(stats.vis2d_count),
+        max_radius2d=take_opt(stats.max_radius2d),
     )
     return model, stats
 

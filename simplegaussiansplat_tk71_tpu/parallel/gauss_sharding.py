@@ -81,8 +81,14 @@ def make_gauss_sharded_train_step(
     opt_template = jax.eval_shape(optimizer.init, params_template)
     opt_spec = jax.tree.map(gauss_spec, opt_template)
     stats_spec = DensifyStats(
-        grad_norm_accum=P(gauss_axis), visible_count=P(gauss_axis)
+        grad_norm_accum=P(gauss_axis),
+        visible_count=P(gauss_axis),
+        grad2d_accum=P(gauss_axis),
+        vis2d_count=P(gauss_axis),
+        max_radius2d=P(gauss_axis),
+        truncated_accum=P(),
     )
+    width_f, height_f = float(img_wh[0]), float(img_wh[1])
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
         # the fast single-chip pipeline per tile-slice: routed pair-space
@@ -150,7 +156,7 @@ def make_gauss_sharded_train_step(
         )
         return image, bins.dropped_pairs, bins.truncated
 
-    def local_loss(params, alive, Pm, Km, target):
+    def local_loss(params, probe, alive, Pm, Km, target):
         # project the LOCAL parameter shard for the LOCAL camera shard
         proj = projection.project(
             params["mean"], params["quat"], params["log_scale"],
@@ -159,6 +165,9 @@ def make_gauss_sharded_train_step(
             bbox_max_frac=render_cfg.bbox_max_frac,
             alive=alive, snap_mean_to_int=render_cfg.snap_mean_to_int,
         )
+        # probe the LOCAL shard's screen-space means (pre-gather): its
+        # gradient is this shard's dL/dmean2d (trainer.make_train_step)
+        proj = proj._replace(mean2d=proj.mean2d + probe)
         # gather the projected attribute set over the gauss axis; JAX
         # transposes this to a psum_scatter of attribute cotangents in bwd
         proj_full = ProjectedGaussians(
@@ -178,23 +187,31 @@ def make_gauss_sharded_train_step(
         loss, (l1, dssim) = photometric_loss(
             images, target, config.loss_lambda, config.ssim_window
         )
-        aux = (l1, dssim, jnp.any(proj.valid, axis=0), jnp.sum(dropped),
-               jnp.sum(truncated))
+        aux = (
+            l1, dssim, jnp.any(proj.valid, axis=0),
+            jnp.sum(proj.valid, axis=0).astype(jnp.int32),
+            jnp.max(jnp.max(proj.bbox_half, axis=1) * proj.valid, axis=0),
+            jnp.sum(dropped), jnp.sum(truncated),
+        )
         return loss, aux
 
     def step(params, alive, opt_state, stats, Pm, Km, target):
-        (loss, (l1, dssim, visible, dropped, truncated)), grads = (
-            jax.value_and_grad(local_loss, has_aux=True)(
-                params, alive, Pm, Km, target
-            )
+        B_local = Pm.shape[0]
+        N_local = params["mean"].shape[-1]
+        probe = jnp.zeros((B_local, 2, N_local), jnp.float32)
+        (
+            (loss, (l1, dssim, visible, vis_count, radius, dropped, truncated)),
+            (grads, grad2d),
+        ) = jax.value_and_grad(local_loss, argnums=(0, 1), has_aux=True)(
+            params, probe, alive, Pm, Km, target
         )
         # Every gauss member computes the loss on the SAME assembled frame,
         # so the tile all_gather's transpose (a psum_scatter over gauss)
         # sums n_gauss identical copies of each tile's cotangent — divide
-        # once to get the exact gradient. Then camera-shard all-reduce over
-        # ICI (the gauss-axis spatial reduction already happened inside the
-        # all_gather transposes).
-        grads = jax.tree.map(lambda g: g / n_gauss, grads)
+        # once to get the exact gradient (the probe rides the same gather).
+        # Then camera-shard all-reduce over ICI (the gauss-axis spatial
+        # reduction already happened inside the all_gather transposes).
+        grads, grad2d = jax.tree.map(lambda g: g / n_gauss, (grads, grad2d))
         grads = jax.lax.pmean(grads, data_axis)
         loss = jax.lax.pmean(loss, data_axis)
         l1 = jax.lax.pmean(l1, data_axis)
@@ -203,9 +220,20 @@ def make_gauss_sharded_train_step(
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         gnorm = jnp.linalg.norm(grads["mean"], axis=0)
         vis = jax.lax.psum(visible.astype(jnp.int32), data_axis)
+        g2 = grad2d * jnp.asarray(
+            [0.5 * width_f * B_local, 0.5 * height_f * B_local], jnp.float32
+        ).reshape(1, 2, 1)
+        g2n = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(g2), axis=1)), axis=0)
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count + (vis > 0).astype(jnp.int32),
+            grad2d_accum=stats.grad2d_accum + jax.lax.psum(g2n, data_axis),
+            vis2d_count=stats.vis2d_count + jax.lax.psum(vis_count, data_axis),
+            max_radius2d=jnp.maximum(
+                stats.max_radius2d, jax.lax.pmax(radius, data_axis)
+            ),
+            truncated_accum=stats.truncated_accum
+            + jax.lax.psum(truncated, data_axis).astype(jnp.int32),
         )
         metrics = {
             "loss": loss,

@@ -115,13 +115,17 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
         )
         return image
 
-    def render_fn(params, alive, Pm, Km, with_visible: bool = False):
+    def render_fn(
+        params, alive, Pm, Km, with_visible: bool = False, mean2d_probe=None
+    ):
         proj = projection.project(
             params["mean"], params["quat"], params["log_scale"],
             params["logit_opacity"], params["sh"], Pm, Km, img_wh,
             sh_degree=config.sh_degree, bbox_max_frac=config.bbox_max_frac,
             alive=alive, snap_mean_to_int=config.snap_mean_to_int,
         )
+        if mean2d_probe is not None:
+            proj = proj._replace(mean2d=proj.mean2d + mean2d_probe)
         # lax.map, not vmap: cameras composite sequentially so the P-sized
         # binning buffers exist once, and the routed pallas kernels (manual
         # DMA) trace normally instead of under a batching transform (same
@@ -134,10 +138,15 @@ def make_tile_sharded_render(mesh, img_wh, config, axis_name: str = "data"):
             ),
         )
         if with_visible:
-            # same visibility stat as the single-chip path (render.RenderAux
-            # .visible): in-frustum per >= 1 camera. Projection is replicated
-            # across chips, so this is exact on every chip.
-            return images, jnp.any(proj.valid, axis=0)
+            # same visibility stats as the single-chip path (render.RenderAux):
+            # projection is replicated across chips, so these are exact on
+            # every chip.
+            vis_aux = (
+                jnp.any(proj.valid, axis=0),
+                jnp.sum(proj.valid, axis=0).astype(jnp.int32),
+                jnp.max(jnp.max(proj.bbox_half, axis=1) * proj.valid, axis=0),
+            )
+            return images, vis_aux
         return images
 
     return render_fn
@@ -153,28 +162,50 @@ def make_tile_sharded_train_step(
 
     render_fn = make_tile_sharded_render(mesh, img_wh, render_cfg, axis_name)
 
+    W, H = float(img_wh[0]), float(img_wh[1])
+
     def step(params, alive, opt_state, stats, Pm, Km, target):
-        def loss_fn(params):
-            images, visible = render_fn(params, alive, Pm, Km, with_visible=True)
+        B = Pm.shape[0]
+        N = params["mean"].shape[-1]
+
+        def loss_fn(params, probe):
+            images, vis_aux = render_fn(
+                params, alive, Pm, Km, with_visible=True, mean2d_probe=probe
+            )
             loss, (l1, dssim) = photometric_loss(
                 images, target, config.loss_lambda, config.ssim_window
             )
-            return loss, (l1, dssim, visible)
+            return loss, (l1, dssim, vis_aux)
 
-        (loss, (l1, dssim, visible)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        # each chip's grads = n_dev x its tiles' share; mean = exact total
+        probe = jnp.zeros((B, 2, N), jnp.float32)
+        (loss, (l1, dssim, (visible, vis_count, radius))), (grads, grad2d) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                params, probe
+            )
+        )
+        # each chip's grads = n_dev x its tiles' share; mean = exact total.
+        # The probe grad is each chip's tile-slice share: SUM = exact total.
         grads = jax.lax.pmean(grads, axis_name)
+        grad2d = jax.lax.psum(grad2d, axis_name)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         gnorm = jnp.linalg.norm(grads["mean"], axis=0)
+        g2 = grad2d * jnp.asarray(
+            [0.5 * W * B, 0.5 * H * B], jnp.float32
+        ).reshape(1, 2, 1)
+        g2n = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(g2), axis=1)), axis=0)
         # true frustum visibility (render.RenderAux.visible semantics), not
         # the gnorm > 0 proxy — densify thresholds divide by visible_count,
         # so the proxy skewed them for visible-but-zero-grad gaussians
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count + visible.astype(jnp.int32),
+            grad2d_accum=stats.grad2d_accum + g2n,
+            vis2d_count=stats.vis2d_count + vis_count,
+            max_radius2d=jnp.maximum(stats.max_radius2d, radius),
+            # per-tile truncation is not surfaced by this path's per_camera
+            # (image-only); the single-chip and DP paths track it
+            truncated_accum=stats.truncated_accum,
         )
         metrics = {"loss": loss, "l1": l1, "dssim": dssim}
         return params, opt_state, stats, metrics

@@ -46,6 +46,8 @@ class RenderAux(NamedTuple):
     num_pairs: jnp.ndarray  # (M,) int32
     dropped_pairs: jnp.ndarray  # (M,) int32
     truncated: jnp.ndarray  # (M,) int32
+    visible_count: jnp.ndarray = None  # (N,) int32 — per-camera visibility
+    max_radius2d: jnp.ndarray = None  # (N,) f32 — max screen radius, pixels
 
 
 def render(
@@ -68,8 +70,15 @@ def render_params(
     K: jnp.ndarray,
     img_wh,
     config: RenderConfig = RenderConfig(),
+    mean2d_probe: jnp.ndarray | None = None,
 ):
-    """Render from a raw trainable-parameter dict (grad-friendly entry)."""
+    """Render from a raw trainable-parameter dict (grad-friendly entry).
+
+    mean2d_probe: optional (M, 2, N) zeros added to the projected pixel-space
+    means. Differentiating w.r.t. it exposes the per-camera screen-space mean
+    gradient dL/dmean2d without changing the forward value — the official-3DGS
+    densification statistic (see adaptive/densify.DensifyStats.grad2d_accum).
+    """
     if config.grad_color_wl and config.use_pallas:
         raise ValueError("grad_color_wl is a parity switch of the XLA path")
     proj = projection.project(
@@ -86,6 +95,8 @@ def render_params(
         alive=alive,
         snap_mean_to_int=config.snap_mean_to_int,
     )
+    if mean2d_probe is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_probe)
 
     def per_camera(mean2d, conic, depth, color, opacity, bbox_half, valid):
         routed = config.use_pallas and config.pair_grad_route
@@ -175,5 +186,11 @@ def render_params(
         num_pairs=num_pairs,
         dropped_pairs=dropped,
         truncated=truncated,
+        visible_count=jnp.sum(proj.valid, axis=0).astype(jnp.int32),
+        # screen radius = max bbox half-extent (3-sigma, pixels) over cameras;
+        # feeds the official-3DGS big-point screen prune (adaptive/densify)
+        max_radius2d=jnp.max(
+            jnp.max(proj.bbox_half, axis=1) * proj.valid, axis=0
+        ),
     )
     return images, aux

@@ -32,11 +32,24 @@ class TrainConfig:
     sh_c00: float = 1.77  # gs_model.py:139
 
     # densify thresholds (gs_control.py:31-35)
-    grad_threshold: float = 0.0004  # limit_upper_grad
+    grad_threshold: float = 0.0004  # limit_upper_grad (3-D stat, reference)
     percent_dense: float = 0.01
     prune_min_opacity: float = 0.005
     reset_opacity_min: float = 0.01
     split_n: int = 2  # gs_model.py:201
+
+    # densify control (round-3 overhaul — VERDICT round 2 "next" #1; the
+    # reference's 3-D statistic with inherited accumulators diverged at scale)
+    densify_stat: str = "grad2d"  # "grad2d" (official 3DGS) | "grad3d" (ref)
+    grad2d_threshold: float = 0.0002  # official densify_grad_threshold
+    max_screen_size: float | None = 20.0  # px; screen prune after 1st opacity
+    # reset (official big-point prune); None disables
+    max_alive: int | None = 4_000_000  # absolute population cap
+    growth_limit: float | None = 2.0  # per-event alive growth cap (x)
+    preserve_adam_on_densify: bool = True  # keep survivors' Adam moments
+    # (official cat_tensors_to_optimizer; False = reference full rebuild)
+    adapt_max_per_tile: bool = True  # double K when truncation persists
+    max_per_tile_limit: int = 2048  # ceiling for the adaptation
 
     # learning rates (gs_control.py:42-49)
     position_lr_init: float = 0.00016
@@ -65,7 +78,11 @@ class TrainConfig:
 
     # behavior quirks
     reset_adam_every_step: bool = False  # reference does this (gs_control.py:199)
-    reset_stats_after_densify: bool = False  # reference never resets (SURVEY 3.3)
+    # official 3DGS zeroes the accumulators at every densify event; the
+    # reference never resets (SURVEY 3.3) — that positive-feedback loop is
+    # what exploded the round-2 quality run, so the official behavior is now
+    # the default (False = reference parity)
+    reset_stats_after_densify: bool = True
     # geometric capacity headroom on growth (amortizes jit recompiles on TPU,
     # where each new capacity costs a 60-170 s remote compile; 1.0 = tightest)
     capacity_growth: float = 1.0

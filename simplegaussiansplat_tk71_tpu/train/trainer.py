@@ -10,8 +10,17 @@ Differences from the reference, by design:
 - Adam state persists across steps (the reference rebuilds Adam every
   iteration, gs_control.py:197-199 + gs_model.py:43-47, silently resetting
   moments; set TrainConfig.reset_adam_every_step=True for that behavior).
-- After densify/prune the optimizer state is re-initialized (the reference
-  also rebuilds Adam there, gs_model.py:263).
+- At densify/prune events, surviving rows KEEP their Adam moments (official
+  3DGS cat_tensors_to_optimizer; TrainConfig.preserve_adam_on_densify=False
+  reverts to the reference's full rebuild, gs_model.py:263). Either way the
+  position-lr schedule stays on the GLOBAL step — the reference drives lr
+  explicitly from the iteration counter (gs_model.py:160-165), so resetting
+  the optax schedule count at densify events (as round 1/2 did) silently
+  froze the position lr at lr_init.
+- The densification statistic defaults to the official-3DGS screen-space
+  2-D mean gradient with per-event stat reset and growth caps (see
+  adaptive/densify docstring; TrainConfig.densify_stat="grad3d" +
+  reset_stats_after_densify=False restores reference behavior).
 - No recursive retry-on-exception (gs_control.py:241-244); failures raise.
 """
 
@@ -23,6 +32,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from simplegaussiansplat_tk71_tpu.adaptive.densify import (
     DensifyStats,
@@ -37,6 +47,82 @@ from simplegaussiansplat_tk71_tpu.train.hyper import HyperState
 from simplegaussiansplat_tk71_tpu.train.optim import make_optimizer
 
 
+def set_schedule_counts(opt_state, step):
+    """Pin every lr-schedule counter in an optax state to ``step``.
+
+    The position lr rides an optax schedule whose count lives in the
+    optimizer state; any optimizer re-init would restart it at 0. The
+    reference computes lr directly from the global iteration
+    (gs_model.py:160-165 + uitility.py:573-606), so the schedule must track
+    the global step across re-inits."""
+
+    def fix(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return s._replace(count=jnp.asarray(step, s.count.dtype))
+        return s
+
+    return jax.tree.map(
+        fix,
+        opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState),
+    )
+
+
+def remap_opt_state(optimizer, old_state, new_params, adam_src, cap_old):
+    """Carry Adam moments across a densify repack.
+
+    adam_src: (C_new,) int32 — old capacity row whose moments each new row
+    keeps, or -1 for fresh rows (children/clones start with zero moments, as
+    in official 3DGS's cat_tensors_to_optimizer). Step counters (Adam bias
+    correction + lr schedules) are carried from the old state."""
+    new_like = optimizer.init(new_params)
+    src = jnp.asarray(np.asarray(adam_src))
+    idx = jnp.maximum(src, 0)
+    keep = src >= 0
+    cap_new = int(src.shape[0])
+
+    def merge(new, old):
+        old_shape = getattr(old, "shape", None)
+        new_shape = getattr(new, "shape", None)
+        if (
+            old_shape is not None
+            and len(old_shape) >= 1
+            and old_shape[-1] == cap_old
+            and new_shape is not None
+            and len(new_shape) == len(old_shape)
+            and new_shape[-1] == cap_new
+            and new_shape[:-1] == old_shape[:-1]
+        ):
+            g = jnp.take(old, idx, axis=-1)
+            return jnp.where(keep, g, jnp.zeros_like(g))
+        if new_shape == old_shape:
+            return old  # step counters
+        return new  # structurally new leaf: keep fresh init
+
+    return jax.tree.map(merge, new_like, old_state)
+
+
+def zero_group_adam_moments(opt_state, label: str):
+    """Zero one multi_transform group's Adam moments (official 3DGS zeroes
+    the opacity moments at reset_opacity, replace_tensor_to_optimizer)."""
+
+    def zero_adam(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(
+                mu=jax.tree.map(jnp.zeros_like, s.mu),
+                nu=jax.tree.map(jnp.zeros_like, s.nu),
+            )
+        return s
+
+    inner = dict(opt_state.inner_states)
+    inner[label] = jax.tree.map(
+        zero_adam,
+        inner[label],
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+    )
+    return opt_state._replace(inner_states=inner)
+
+
 def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optimizer):
     """Build the jitted train step over static shapes.
 
@@ -46,9 +132,12 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
     mask: per-camera pixel validity (B, H, W) for mixed-size scenes (pad-to-
     max; see data/dataset.py), or None for the exact uniform-size path.
     """
+    W, H = int(img_wh[0]), int(img_wh[1])
 
-    def loss_fn(params, alive, P, K, target, mask):
-        images, aux = render_params(params, alive, P, K, img_wh, render_cfg)
+    def loss_fn(params, probe, alive, P, K, target, mask):
+        images, aux = render_params(
+            params, alive, P, K, img_wh, render_cfg, mean2d_probe=probe
+        )
         loss, (l1, dssim) = photometric_loss(
             images, target, config.loss_lambda, config.ssim_window, mask=mask
         )
@@ -68,17 +157,36 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
 
     @functools.partial(jax.jit, donate_argnums=_donate)
     def train_step(params, alive, opt_state, stats, P, K, target, mask=None):
-        (loss, (l1, dssim, mse, aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params, alive, P, K, target, mask)
+        B = target.shape[0]
+        N = params["mean"].shape[-1]
+        # zero probe: its gradient is the per-camera screen-space mean
+        # gradient dL/dmean2d (see render.render_params docstring)
+        probe = jnp.zeros((B, 2, N), jnp.float32)
+        (loss, (l1, dssim, mse, aux)), (grads, grad2d) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, probe, alive, P, K, target, mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        # densify stats: accumulated ||dL/dmean|| + visibility counter
-        # (param_iter_update, gs_model.py:190-194)
+        # densify stats (adaptive/densify.DensifyStats):
+        # - reference 3-D stat: accumulated ||dL/dmean|| + any-camera
+        #   visibility (param_iter_update, gs_model.py:190-194)
+        # - official 2-D stat: per-camera ||dL/dmean2d|| in half-image units.
+        #   The loss is a mean over the B-camera batch, so the probe grad is
+        #   (1/B) x the per-camera-loss gradient; scale by B to recover the
+        #   official per-render-call accumulation semantics.
         gnorm = jnp.linalg.norm(grads["mean"], axis=0)
+        g2 = grad2d * jnp.asarray(
+            [0.5 * W * B, 0.5 * H * B], jnp.float32
+        ).reshape(1, 2, 1)
+        g2n = jnp.sqrt(jnp.sum(jnp.square(g2), axis=1))  # (B, N)
         stats = DensifyStats(
             grad_norm_accum=stats.grad_norm_accum + gnorm,
             visible_count=stats.visible_count + aux.visible.astype(jnp.int32),
+            grad2d_accum=stats.grad2d_accum + jnp.sum(g2n, axis=0),
+            vis2d_count=stats.vis2d_count + aux.visible_count,
+            max_radius2d=jnp.maximum(stats.max_radius2d, aux.max_radius2d),
+            truncated_accum=stats.truncated_accum
+            + jnp.sum(aux.truncated).astype(jnp.int32),
         )
         # NaN sweep the reference keeps commented (check_nan,
         # gs_model.py:822-829) — here a single cheap reduced flag per step
@@ -100,7 +208,13 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
 
 
 class Trainer:
-    """Drives training of one scene. See cli.py for end-to-end usage."""
+    """Drives training of one scene. See cli.py for end-to-end usage.
+
+    Densify thresholds are read through ``self.hyper`` (a HyperState built
+    from the config at construction); external mutation of ``trainer.config``
+    after construction does not affect them — use ``trainer.hyper`` setters
+    for live schedules.
+    """
 
     def __init__(
         self,
@@ -109,6 +223,7 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
         render_cfg: Optional[RenderConfig] = None,
         log_fn=print,
+        densify_cb=None,
     ):
         self.config = config
         self.dataset = dataset
@@ -144,6 +259,8 @@ class Trainer:
         self.n_alive = int(model.num_alive())
         self.extent = dataset.extent if dataset is not None else 1.0
         self.log = log_fn
+        self.densify_cb = densify_cb  # called with the event info dict
+        self.densify_events = []  # instrumentation (VERDICT round-2 next #1)
         self._rng = np.random.default_rng(config.seed)
         self._train_step = make_train_step(
             config, self.render_cfg, dataset.img_wh, self.optimizer
@@ -157,13 +274,9 @@ class Trainer:
         when the checkpoint structurally cannot carry it (missing keys or
         shape drift from a changed optimizer config), and the exact mismatch
         is logged — a corrupt value (e.g. a truncated array) raises instead
-        of silently degrading to fresh Adam moments.
+        of silently degrading to fresh Adam moments. Checkpoints from before
+        the round-3 stats extension restore with the new stat fields zeroed.
         """
-        import jax.numpy as jnp
-
-        from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats
-        from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
-
         data = np.load(path)
         self.model = GaussianModel(
             mean=jnp.asarray(data["model.mean"]),
@@ -173,10 +286,22 @@ class Trainer:
             sh=jnp.asarray(data["model.sh"]),
             alive=jnp.asarray(data["model.alive"]),
         )
+        cap = self.model.capacity
+        zeroed = DensifyStats.zeros(cap)
+
+        def stat(name, like):
+            key = f"stats.{name}"
+            return jnp.asarray(data[key]) if key in data else like
+
         self.stats = DensifyStats(
-            grad_norm_accum=jnp.asarray(data["stats.grad_norm_accum"]),
-            visible_count=jnp.asarray(data["stats.visible_count"]),
+            grad_norm_accum=stat("grad_norm_accum", zeroed.grad_norm_accum),
+            visible_count=stat("visible_count", zeroed.visible_count),
+            grad2d_accum=stat("grad2d_accum", zeroed.grad2d_accum),
+            vis2d_count=stat("vis2d_count", zeroed.vis2d_count),
+            max_radius2d=stat("max_radius2d", zeroed.max_radius2d),
+            truncated_accum=stat("truncated_accum", zeroed.truncated_accum),
         )
+        self.step = int(data["step"])
         self._reinit_opt()
         leaves, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
         mismatch = []
@@ -198,7 +323,6 @@ class Trainer:
             )
         else:
             self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        self.step = int(data["step"])
         self.n_alive = int(self.model.num_alive())
         return self.step
 
@@ -210,6 +334,38 @@ class Trainer:
         # its own — rebuilding would discard the trace cache and force a full
         # recompile (60-170 s remotely) at every densify event.
         self.opt_state = self.optimizer.init(self.model.trainable())
+        # lr schedules always track the global step (module docstring)
+        self.opt_state = set_schedule_counts(self.opt_state, self.step)
+
+    def _maybe_adapt_max_per_tile(self, trunc_accum: int):
+        """Double the per-tile capacity when truncation persists (VERDICT
+        round-2 weak #2: dropped fragments are wrong images AND wrong
+        gradients exactly where densify is misjudging). Costs one recompile
+        of the train step at the next call."""
+        cfg = self.config
+        interval = max(cfg.densification_interval, 1)
+        per_step = trunc_accum / interval
+        if per_step <= 0:
+            return
+        self.log(
+            f"[truncation @ {self.step}] {trunc_accum} fragments dropped "
+            f"since last event ({per_step:.0f}/step) at "
+            f"max_per_tile={self.render_cfg.max_per_tile}"
+        )
+        if not cfg.adapt_max_per_tile:
+            return
+        k = self.render_cfg.max_per_tile
+        if per_step > 1000 and k < cfg.max_per_tile_limit:
+            new_k = min(2 * k, cfg.max_per_tile_limit)
+            self.log(
+                f"[adapt @ {self.step}] raising max_per_tile {k} -> {new_k} "
+                "(train step will recompile)"
+            )
+            self.render_cfg = self.render_cfg._replace(max_per_tile=new_k)
+            self._train_step = make_train_step(
+                self.config, self.render_cfg, self.dataset.img_wh,
+                self.optimizer,
+            )
 
     def run_step(self, P, K, target, mask=None):
         """One optimization step on a batch of cameras.
@@ -218,7 +374,11 @@ class Trainer:
         cameras share img_wh)."""
         params = self.model.trainable()
         if self.config.reset_adam_every_step:
-            self.opt_state = self.optimizer.init(params)
+            # reference quirk (gs_control.py:199) — but even it drives lr
+            # from the global iteration, so pin the schedule counters
+            self.opt_state = set_schedule_counts(
+                self.optimizer.init(params), self.step
+            )
         params, self.opt_state, self.stats, metrics = self._train_step(
             params, self.model.alive, self.opt_state, self.stats,
             jnp.asarray(P), jnp.asarray(K), jnp.asarray(target),
@@ -232,32 +392,73 @@ class Trainer:
             cfg.densify_from_iter <= self.step <= cfg.densify_until_iter
             and self.step % cfg.densification_interval == 0
         ):
+            cap_old = self.model.capacity
+            use_2d = cfg.densify_stat == "grad2d"
+            # official 3DGS enables the screen-size prune only after the
+            # first opacity reset (densify_and_prune's size_threshold arg)
+            screen = (
+                cfg.max_screen_size
+                if cfg.opacity_reset_interval
+                and self.step > cfg.opacity_reset_interval
+                else None
+            )
             self.model, self.stats, info = densify_and_prune(
                 self.model,
                 self.stats,
                 self.extent,
-                grad_threshold=self.hyper.value("grad_threshold"),
+                grad_threshold=(
+                    cfg.grad2d_threshold
+                    if use_2d
+                    else self.hyper.value("grad_threshold")
+                ),
                 percent_dense=self.hyper.value("percent_dense"),
                 prune_min_opacity=self.hyper.value("prunning_min_opacity"),
                 split_n=cfg.split_n,
                 rng=self._rng,
                 reset_stats=cfg.reset_stats_after_densify,
                 capacity_growth=cfg.capacity_growth,
+                stat=cfg.densify_stat,
+                max_screen_size=screen,
+                max_alive=cfg.max_alive,
+                growth_limit=cfg.growth_limit,
             )
             if cfg.morton_reorder:
-                # spatial row order (adaptive/reorder.py); safe here because
-                # the optimizer is rebuilt below anyway
+                # spatial row order (adaptive/reorder.py); compose the adam
+                # source map with the permutation so moment rows follow
                 from simplegaussiansplat_tk71_tpu.adaptive.reorder import (
-                    morton_reorder,
+                    morton_permutation,
+                    apply_permutation,
                 )
 
-                self.model, self.stats = morton_reorder(self.model, self.stats)
-            self._reinit_opt()
+                perm = morton_permutation(
+                    np.asarray(self.model.mean), np.asarray(self.model.alive)
+                )
+                self.model, self.stats = apply_permutation(
+                    self.model, self.stats, perm
+                )
+                info["adam_src"] = info["adam_src"][perm]
+            adam_src = info.pop("adam_src")
+            if cfg.preserve_adam_on_densify:
+                self.opt_state = remap_opt_state(
+                    self.optimizer, self.opt_state, self.model.trainable(),
+                    adam_src, cap_old,
+                )
+                self.opt_state = set_schedule_counts(self.opt_state, self.step)
+            else:
+                self._reinit_opt()
             self.n_alive = int(info["alive"])
+            info["step"] = self.step
+            self.densify_events.append(info)
+            if self.densify_cb is not None:
+                self.densify_cb(info)
             self.log(
                 f"[densify @ {self.step}] split={info['split']} "
-                f"clone={info['clone']} prune={info['prune']} alive={info['alive']}"
+                f"clone={info['clone']} prune={info['prune']} "
+                f"(screen {info['screen_prune']}, capped {info['growth_capped']}) "
+                f"alive={info['alive']} stat={info['stat']} "
+                f"p90={info['score_p90']:.2e} p99={info['score_p99']:.2e}"
             )
+            self._maybe_adapt_max_per_tile(info["truncated_accum"])
             if info["alive"] == 0 or info["prune"] > 2 * max(info["alive"], 1):
                 self.log(
                     "WARNING: densify pruned most/all gaussians — scene "
@@ -270,7 +471,15 @@ class Trainer:
             and self.step % cfg.opacity_reset_interval == 0
         ):
             self.model = reset_opacity(self.model, cfg.reset_opacity_min)
-            self._reinit_opt()
+            if cfg.preserve_adam_on_densify:
+                # official 3DGS zeroes only the opacity moments here
+                # (replace_tensor_to_optimizer); a full rebuild would wipe
+                # every group's curvature estimate
+                self.opt_state = zero_group_adam_moments(
+                    self.opt_state, "logit_opacity"
+                )
+            else:
+                self._reinit_opt()
             self.log(f"[opacity reset @ {self.step}]")
         return metrics
 

@@ -7,8 +7,11 @@ multi-host logic is tested single-host via xla_force_host_platform_device_count)
 import os
 
 # Force-override: the container exports JAX_PLATFORMS=axon (the tunneled TPU);
-# unit tests must run on the virtual CPU mesh.
+# unit tests must run on the virtual CPU mesh. Also drop the axon pool var —
+# with it set, sitecustomize registers the TPU client in every pytest process
+# and the suite silently contends for the (possibly busy) chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
