@@ -27,8 +27,14 @@ import jax
 def maybe_initialize_distributed() -> bool:
     """jax.distributed.initialize() when a coordinator is configured
     (JAX_COORDINATOR_ADDRESS or cloud-TPU autodetection). Returns True if
-    multi-process."""
-    if jax.process_count() > 1:
+    multi-process.
+
+    Order matters: anything that touches the XLA backend (jax.devices,
+    jax.process_count, any computation) before initialize() poisons it —
+    so the coordinator env is consulted FIRST and process_count only as the
+    already-initialized fallback (tests/_multihost_worker.py exercises this
+    on a real 2-process CPU backend)."""
+    if jax.distributed.is_initialized():
         return True
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
@@ -38,7 +44,7 @@ def maybe_initialize_distributed() -> bool:
             process_id=int(os.environ["JAX_PROCESS_ID"]),
         )
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def global_mesh(axis_name: str = "data"):

@@ -33,6 +33,8 @@ class TrainConfig:
 
     # densify thresholds (gs_control.py:31-35)
     grad_threshold: float = 0.0004  # limit_upper_grad (3-D stat, reference)
+    grad_delta_upper_limit: float = 1e-12  # gs_control.py:31 (distinct from
+    # grad_threshold; unused by densify today, surfaced via HyperState)
     percent_dense: float = 0.01
     prune_min_opacity: float = 0.005
     reset_opacity_min: float = 0.01

@@ -94,7 +94,7 @@ class HyperState:
         """Populate from TrainConfig with the reference's field mapping."""
         return cls(
             {
-                "grad_delta_upper_limit": cfg.grad_threshold,
+                "grad_delta_upper_limit": cfg.grad_delta_upper_limit,
                 "grad_threshold": cfg.grad_threshold,
                 "percent_dense": cfg.percent_dense,
                 "variance_pixel_tile_max_width": 0.9,
