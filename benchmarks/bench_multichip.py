@@ -274,6 +274,15 @@ def main():
                 r["efficiency_vs_1dev"] = round(
                     r["rays_per_s"] / (r["devices"] * base["rays_per_s"]), 3
                 )
+            if r.get("backend") == "cpu":
+                # a virtual N-device mesh timeshares ONE host: step_ms /
+                # efficiency measure host contention, not the design. The
+                # collective-bytes accounting is exact either way (it reads
+                # the compiled HLO, not the clock).
+                r["timing_validity"] = (
+                    "perf-invalid: shared-host virtual CPU mesh; only "
+                    "collectives/collective_bytes_total are meaningful"
+                )
         path = os.path.join(args.out, f"{layout}.json")
         with open(path, "w") as f:
             json.dump(rows, f, indent=2)

@@ -228,8 +228,20 @@ def _tpu() -> bool:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rung", type=int, required=True, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
     out = {1: rung1, 2: rung2, 3: rung3, 4: rung4, 5: rung5}[args.rung]()
+    import jax
+
+    out["backend"] = jax.default_backend()
+    if out["backend"] == "cpu" and args.rung >= 3:
+        out["timing_validity"] = (
+            "perf-invalid: CPU (virtual mesh for rungs 4-5 timeshares one "
+            "host); rung defined for TPU hardware"
+        )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps(out))
 
 
