@@ -94,6 +94,118 @@ def composite_oracle(mean2d, conic, color, opacity, depth, W, H, pixel_offset=0.
     return img
 
 
+_C0 = 0.28209479177387814
+_C1 = 0.4886025119029199
+_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+
+
+def sh_oracle(sh, dirs, deg):
+    """Float64 real-SH radiance (standard 3DGS constants, degree <= 2).
+
+    sh: (N, B, 3); dirs: (N, 3) unit view directions (the spec evaluates
+    along -normalize(camera-space position), gs_model.py:335-338).
+    Independent numpy port for oracle ground truth.
+    """
+    sh = np.asarray(sh, np.float64)
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    r = _C0 * sh[:, 0]
+    if deg >= 1:
+        r = (
+            r
+            - _C1 * y[:, None] * sh[:, 1]
+            + _C1 * z[:, None] * sh[:, 2]
+            - _C1 * x[:, None] * sh[:, 3]
+        )
+    if deg >= 2:
+        xy, yz, xz = x * y, y * z, x * z
+        x2, y2, z2 = x * x, y * y, z * z
+        r = (
+            r
+            + _C2[0] * xy[:, None] * sh[:, 4]
+            + _C2[1] * yz[:, None] * sh[:, 5]
+            + _C2[2] * (2.0 * z2 - x2 - y2)[:, None] * sh[:, 6]
+            + _C2[3] * xz[:, None] * sh[:, 7]
+            + _C2[4] * (x2 - y2)[:, None] * sh[:, 8]
+        )
+    return r
+
+
+def composite_oracle_vec(
+    mean2d, conic, color, opacity, depth, W, H, pixel_offset=0.5,
+    chunk=4096, z_valid=None,
+):
+    """Vectorized float64 composite: same spec math as composite_oracle
+    (front-to-back over ALL gaussians at every pixel, no tiles, no per-tile
+    truncation, no alpha floor) at usable speed for oracle ground truth.
+
+    z_valid: optional (N,) bool — gaussians composited (e.g. depth > 0);
+    invalid rows are dropped entirely (the slow oracle includes them, which
+    only matches when all test gaussians are in front of the camera).
+    """
+    mean2d = np.asarray(mean2d, np.float64)
+    conic = np.asarray(conic, np.float64)
+    color = np.asarray(color, np.float64)
+    opacity = np.asarray(opacity, np.float64)
+    depth = np.asarray(depth, np.float64)
+    if z_valid is not None:
+        keep = np.asarray(z_valid, bool)
+        mean2d, conic, color = mean2d[keep], conic[keep], color[keep]
+        opacity, depth = opacity[keep], depth[keep]
+    order = np.argsort(depth, kind="stable")
+    mean2d, conic, color, opacity = (
+        mean2d[order], conic[order], color[order], opacity[order]
+    )
+    px = np.arange(W) + pixel_offset
+    py = np.arange(H) + pixel_offset
+    xs, ys = np.meshgrid(px, py)  # (H, W)
+    xs, ys = xs.ravel(), ys.ravel()
+    img = np.zeros((H * W, 3))
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    for lo in range(0, H * W, chunk):
+        x = xs[lo : lo + chunk][None, :]  # (1, P)
+        y = ys[lo : lo + chunk][None, :]
+        dx = x - mean2d[:, 0:1]  # (N, P)
+        dy = y - mean2d[:, 1:2]
+        gk = np.exp(
+            -0.5
+            * (a[:, None] * dx * dx + 2 * b[:, None] * dx * dy
+               + c[:, None] * dy * dy)
+        )
+        alpha = opacity[:, None] * gk  # (N, P) in depth order
+        T = np.cumprod(1.0 - alpha, axis=0)
+        T_excl = np.concatenate([np.ones((1, alpha.shape[1])), T[:-1]], axis=0)
+        w = T_excl * alpha  # (N, P)
+        img[lo : lo + chunk] = w.T @ color  # (P, 3)
+    return img.reshape(H, W, 3)
+
+
+def render_oracle(model_np, P, K, W, H, sh_degree=2):
+    """Full-frame float64 oracle render of a GaussianModel's alive rows.
+
+    model_np: dict of numpy arrays {mean (N,3), quat (N,4), log_scale (N,3),
+    opacity (N,), sh (N, B, 3)} — row-major natural units (opacity already
+    sigmoided). Projection per project_oracle (the reference's math), color
+    via sh_oracle along -normalize(camera-space position), compositing via
+    composite_oracle_vec over all z > 0 gaussians. Completely independent of
+    the production JAX path: float64, no tiling, no per-tile K, no culling."""
+    pr = project_oracle(
+        model_np["mean"], model_np["quat"], model_np["log_scale"], P, K
+    )
+    cam = pr["mean_cam"]
+    d = -cam / np.maximum(np.linalg.norm(cam, axis=1, keepdims=True), 1e-12)
+    color = sh_oracle(model_np["sh"], d, sh_degree)
+    return composite_oracle_vec(
+        pr["mean2d"], pr["conic"], color, model_np["opacity"], pr["depth"],
+        W, H, z_valid=pr["depth"] > 1e-2,
+    )
+
+
 def composite_grads_oracle(
     mean2d, conic, color, opacity, depth, W, H, g_img, pixel_offset=0.5
 ):
