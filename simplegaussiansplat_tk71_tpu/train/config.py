@@ -53,6 +53,11 @@ class TrainConfig:
     adapt_max_per_tile: bool = True  # double K when truncation persists
     max_per_tile_limit: int = 2048  # ceiling for the adaptation
 
+    # debug: checkify float_checks over the whole train step (raises on the
+    # first NaN/Inf with op location). The reference's check_nan helper with
+    # its call sites commented (gs_model.py:822-829), actually wired up.
+    debug_nan_checks: bool = False
+
     # learning rates (gs_control.py:42-49)
     position_lr_init: float = 0.00016
     position_lr_final: float = 0.0000016

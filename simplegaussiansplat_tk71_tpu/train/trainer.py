@@ -155,8 +155,7 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
     # near the 16 GB v5e capacity). SGS_DONATE=0 disables it for layout A/Bs.
     _donate = (0, 2, 3) if os.environ.get("SGS_DONATE", "1") == "1" else ()
 
-    @functools.partial(jax.jit, donate_argnums=_donate)
-    def train_step(params, alive, opt_state, stats, P, K, target, mask=None):
+    def _step(params, alive, opt_state, stats, P, K, target, mask=None):
         B = target.shape[0]
         N = params["mean"].shape[-1]
         # zero probe: its gradient is the per-camera screen-space mean
@@ -165,6 +164,17 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         (loss, (l1, dssim, mse, aux)), (grads, grad2d) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, probe, alive, P, K, target, mask)
+        if config.debug_nan_checks:
+            # the reference's check_nan(x, name) sweep (gs_model.py:822-829,
+            # call sites commented out there) — named checkify checks that
+            # raise on the host with the failing tensor's name
+            from jax.experimental import checkify
+
+            checkify.check(jnp.isfinite(loss), "non-finite loss")
+            for name, g in grads.items():
+                checkify.check(
+                    jnp.all(jnp.isfinite(g)), "non-finite grad: " + name
+                )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         # densify stats (adaptive/densify.DensifyStats):
@@ -204,7 +214,26 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         }
         return params, opt_state, stats, metrics
 
-    return train_step
+    if config.debug_nan_checks:
+        # NaN/Inf sanitizer behind a debug flag (SURVEY section 5). Named
+        # checkify checks at the loss/gradient boundary (see _step) raise on
+        # the host with the failing tensor's name. Debug tool: no donation,
+        # never the default path. (Whole-graph checkify.float_checks was
+        # rejected: instrumenting every op made compiles minutes-long.)
+        from jax.experimental import checkify
+
+        checked = jax.jit(
+            checkify.checkify(_step, errors=checkify.user_checks)
+        )
+
+        def train_step(*args, **kw):
+            err, out = checked(*args, **kw)
+            checkify.check_error(err)  # raises on the host if any check tripped
+            return out
+
+        return train_step
+
+    return functools.partial(jax.jit, donate_argnums=_donate)(_step)
 
 
 class Trainer:
