@@ -24,6 +24,11 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache (same dir as quality_run): the 1M-gaussian
+    # step costs ~2 min of remote compile per fresh graph
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from simplegaussiansplat_tk71_tpu.adaptive.densify import DensifyStats

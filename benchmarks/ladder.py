@@ -230,8 +230,11 @@ def main():
     ap.add_argument("--rung", type=int, required=True, choices=[1, 2, 3, 4, 5])
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args()
-    out = {1: rung1, 2: rung2, 3: rung3, 4: rung4, 5: rung5}[args.rung]()
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    out = {1: rung1, 2: rung2, 3: rung3, 4: rung4, 5: rung5}[args.rung]()
 
     out["backend"] = jax.default_backend()
     if out["backend"] == "cpu" and args.rung >= 3:
