@@ -14,6 +14,7 @@ import argparse
 import dataclasses
 import os
 import sys
+import types
 import typing
 
 import numpy as np
@@ -28,7 +29,8 @@ def _add_config_flags(p: argparse.ArgumentParser):
         # resolve through either the string annotation or the typing object
         if isinstance(f.type, str):
             t = f.type
-        elif typing.get_origin(f.type) is typing.Union:
+        elif typing.get_origin(f.type) in (typing.Union, types.UnionType):
+            # both typing.Optional[X] and the X | None syntax
             inner = [a for a in typing.get_args(f.type) if a is not type(None)]
             t = inner[0].__name__ if len(inner) == 1 else str(f.type)
         else:
