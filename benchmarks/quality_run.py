@@ -52,6 +52,10 @@ def main():
                     help="absolute population cap (reference run ended ~514k)")
     ap.add_argument("--densify-stat", default="grad2d",
                     choices=["grad2d", "grad3d"])
+    ap.add_argument("--max-screen-size", type=float, default=20.0,
+                    help="screen prune radius, px (0 disables). The official "
+                    "20px is tuned for ~1.5MP photos; synthetic GT scenes "
+                    "legitimately contain larger gaussians")
     ap.add_argument("--max-hours", type=float, default=0.0,
                     help="wall-clock budget; >0 = checkpoint and exit "
                     "cleanly when exceeded (resume with --resume)")
@@ -115,7 +119,7 @@ def main():
         densify_stat=args.densify_stat,
         max_alive=args.max_alive,
         growth_limit=2.0,
-        max_screen_size=20.0,
+        max_screen_size=args.max_screen_size or None,
         preserve_adam_on_densify=True,
         reset_stats_after_densify=True,
         adapt_max_per_tile=True,
@@ -282,6 +286,14 @@ def main():
         ):
             log(f"[budget] wall-clock budget {args.max_hours}h exceeded at "
                 f"step {trainer.step}; checkpointing and exiting cleanly")
+            break
+        # clean-stop file: `touch <out>/STOP` checkpoints and exits between
+        # steps — NEVER kill the process mid-TPU-work (a killed axon claim
+        # wedges the chip ~50 min; NOTES.md environment hazards)
+        if trainer.step % 20 == 0 and os.path.exists(f"{args.out}/STOP"):
+            log(f"[stop] {args.out}/STOP found at step {trainer.step}; "
+                "checkpointing and exiting cleanly")
+            os.remove(f"{args.out}/STOP")
             break
     flush()
     mfile.close()
