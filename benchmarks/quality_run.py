@@ -276,6 +276,7 @@ def main():
             save_checkpoint(
                 f"{args.out}/ckpt/ckpt_{trainer.step}.npz",
                 trainer.model, trainer.opt_state, trainer.stats, trainer.step,
+                extra=trainer.checkpoint_extra(),
             )
             t_step = time.time()
         if trainer.step >= args.steps:
@@ -303,6 +304,7 @@ def main():
     save_checkpoint(
         f"{args.out}/ckpt/ckpt_{trainer.step}.npz",
         trainer.model, trainer.opt_state, trainer.stats, trainer.step,
+        extra=trainer.checkpoint_extra(),
     )
     # reference-format export (gs_control.py:226-231) of the final model
     save_reference_pt(f"{args.out}/reference_pt", trainer.model)

@@ -28,12 +28,19 @@ def _flatten(prefix, tree, out):
     return out
 
 
-def save_checkpoint(path: str, model: GaussianModel, opt_state, stats, step: int):
+def save_checkpoint(
+    path: str, model: GaussianModel, opt_state, stats, step: int,
+    extra: dict | None = None,
+):
+    """extra: optional scalar run state (e.g. an adapted max_per_tile) saved
+    as ``extra.<key>`` entries; Trainer.restore re-applies what it knows."""
     arrays = {}
     _flatten("model", model, arrays)
     _flatten("opt", opt_state, arrays)
     _flatten("stats", stats, arrays)
     arrays["step"] = np.asarray(step)
+    for k, v in (extra or {}).items():
+        arrays[f"extra.{k}"] = np.asarray(v)
     tmp = path + ".tmp"
     np.savez(tmp, **arrays)
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)

@@ -331,6 +331,18 @@ class Trainer:
             truncated_accum=stat("truncated_accum", zeroed.truncated_accum),
         )
         self.step = int(data["step"])
+        # re-apply adapted run state (e.g. a max_per_tile raised by the
+        # truncation adaptation) before the step function is rebuilt
+        if "extra.max_per_tile" in data:
+            k = int(data["extra.max_per_tile"])
+            if k != self.render_cfg.max_per_tile:
+                self.log(f"[restore] max_per_tile {self.render_cfg.max_per_tile}"
+                         f" -> {k} (from checkpoint)")
+                self.render_cfg = self.render_cfg._replace(max_per_tile=k)
+                self._train_step = make_train_step(
+                    self.config, self.render_cfg, self.dataset.img_wh,
+                    self.optimizer,
+                )
         self._reinit_opt()
         leaves, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
         mismatch = []
@@ -354,6 +366,10 @@ class Trainer:
             self.opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self.n_alive = int(self.model.num_alive())
         return self.step
+
+    def checkpoint_extra(self) -> dict:
+        """Run state for save_checkpoint's ``extra`` (restore re-applies)."""
+        return {"max_per_tile": self.render_cfg.max_per_tile}
 
     def _reinit_opt(self):
         # fresh Adam over the (possibly re-packed) tensors — the reference
@@ -583,6 +599,7 @@ class Trainer:
                 save_checkpoint(
                     f"{checkpoint_dir}/ckpt_{self.step}.npz",
                     self.model, self.opt_state, self.stats, self.step,
+                    extra=self.checkpoint_extra(),
                 )
             if self.step >= num_steps:
                 break
