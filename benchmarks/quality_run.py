@@ -268,7 +268,11 @@ def main():
             flush()  # donation: buffers from the old graph stay fetchable
         if len(buf) >= args.flush_every:
             flush()
-        if trainer.step % args.eval_every == 0:
+        # offset by half a period so evals never land on the opacity-reset
+        # steps (multiples of 3000): an eval taken right after the reset
+        # measures the intentional transient, not fit quality (the round-3
+        # run-1 curve has 9 dB points at steps 3000/6000 for this reason)
+        if trainer.step % args.eval_every == args.eval_every // 2:
             flush()
             last_eval = run_eval(trainer.step)
             t_step = time.time()
