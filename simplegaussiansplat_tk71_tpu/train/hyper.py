@@ -115,6 +115,19 @@ class HyperState:
     def value(self, name: str) -> float:
         return self.params.value(name)
 
+    def set_value(self, name: str, value: float) -> "HyperState":
+        """Host-side write in natural units — the supported path for
+        config-driven threshold schedules (the Trainer snapshots TrainConfig
+        into this container at construction; mutating trainer.config later
+        has no effect)."""
+        if name not in _FIELDS:
+            raise ValueError(f"unknown hyperparameter {name!r}")
+        x = jnp.asarray(value, jnp.float32)
+        raw = dict(self.params.raw)
+        raw[name] = _logit(x) if _FIELDS[name] else x
+        self.params = HyperParams(raw=raw)
+        return self
+
     def update(self, grads: Optional[Dict[str, jnp.ndarray]]):
         """One Adam step from meta-gradients; identity when frozen.
 

@@ -57,3 +57,16 @@ def test_trainer_reads_thresholds_through_container():
     tr = Trainer(model, _DS(), TrainConfig(max_per_tile=64, max_pairs=2048))
     assert np.isclose(tr.hyper.value("grad_threshold"),
                       tr.config.grad_threshold)
+
+
+def test_set_value_live_threshold():
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+    from simplegaussiansplat_tk71_tpu.train.hyper import HyperState
+
+    h = HyperState.from_config(TrainConfig())
+    assert abs(h.value("grad_threshold") - 0.0004) < 1e-9
+    h.set_value("grad_threshold", 0.001)
+    assert abs(h.value("grad_threshold") - 0.001) < 1e-9
+    # logit-space field round-trips through natural units
+    h.set_value("variance_pixel_tile_max_width", 0.25)
+    assert abs(h.value("variance_pixel_tile_max_width") - 0.25) < 1e-6
