@@ -140,19 +140,32 @@ def densify_and_prune(
 
     # model storage is component-major (C, N) on device (NOTES.md layout
     # tax); densify logic runs row-major in numpy — transpose at the edges
-    # (cheap host copies)
-    alive = np.asarray(model.alive)
+    # (cheap host copies). ONE bulk device_get: each per-array fetch is a
+    # full RPC round trip on a tunneled TPU, and a densify event reads ~11
+    # arrays (the serial fetches dominated the ~8 s/event seen in the
+    # round-3 quality run).
+    import jax
+
+    (alive, mean_d, quat_d, lsc_d, lop_d, sh_d, gn_d, gi_d, g2_d, g2i_d,
+     rad_d, trunc_d) = jax.device_get((
+        model.alive, model.mean, model.quat, model.log_scale,
+        model.logit_opacity, model.sh, stats.grad_norm_accum,
+        stats.visible_count, stats.grad2d_accum, stats.vis2d_count,
+        stats.max_radius2d, stats.truncated_accum,
+    ))
+    alive = np.asarray(alive)
     rows = np.where(alive)[0].astype(np.int64)  # old capacity row per alive
-    mean = np.asarray(model.mean).T[alive]
-    quat = np.asarray(model.quat).T[alive]
-    log_scale = np.asarray(model.log_scale).T[alive]
-    logit_op = np.asarray(model.logit_opacity)[alive][:, None]
-    sh = np.asarray(model.sh).T[alive]
-    g_norm = np.asarray(stats.grad_norm_accum)[alive]
-    g_iter = np.asarray(stats.visible_count)[alive]
-    g2d = _np_or_zeros(stats.grad2d_accum, cap_old, np.float32)[alive]
-    g2d_iter = _np_or_zeros(stats.vis2d_count, cap_old, np.int32)[alive]
-    radius = _np_or_zeros(stats.max_radius2d, cap_old, np.float32)[alive]
+    mean = np.asarray(mean_d).T[alive]
+    quat = np.asarray(quat_d).T[alive]
+    log_scale = np.asarray(lsc_d).T[alive]
+    logit_op = np.asarray(lop_d)[alive][:, None]
+    sh = np.asarray(sh_d).T[alive]
+    g_norm = np.asarray(gn_d)[alive]
+    g_iter = np.asarray(gi_d)[alive]
+    g2d = _np_or_zeros(g2_d, cap_old, np.float32)[alive]
+    g2d_iter = _np_or_zeros(g2i_d, cap_old, np.int32)[alive]
+    radius = _np_or_zeros(rad_d, cap_old, np.float32)[alive]
+    trunc_accum_host = int(trunc_d) if trunc_d is not None else 0
     n_alive0 = len(mean)
 
     # adam_src: survivors keep their moments; children/clones start fresh.
@@ -280,23 +293,23 @@ def densify_and_prune(
     def pack(x, fill=0.0):
         out = np.full((cap,) + x.shape[1:], fill, x.dtype)
         out[:n] = x
-        return jnp.asarray(out)
+        return out
 
     def pack_t(x, fill=0.0):
         out = np.full((cap, x.shape[1]), fill, x.dtype)
         out[:n] = x
-        return jnp.asarray(np.ascontiguousarray(out.T))
+        return np.ascontiguousarray(out.T)
 
     quat_packed = np.zeros((cap, 4), np.float32)
     quat_packed[:, 3] = 1.0  # identity fill: zero quats have degenerate grads
     quat_packed[:n] = quat
     new_model = GaussianModel(
         mean=pack_t(mean),
-        quat=jnp.asarray(np.ascontiguousarray(quat_packed.T)),
+        quat=np.ascontiguousarray(quat_packed.T),
         log_scale=pack_t(log_scale, fill=-10.0),
         logit_opacity=pack(logit_op[:, 0]),
         sh=pack_t(sh),
-        alive=jnp.asarray(np.arange(cap) < n),
+        alive=np.arange(cap) < n,
     )
     if reset_stats:
         new_stats = DensifyStats.zeros(cap)
@@ -307,8 +320,10 @@ def densify_and_prune(
             grad2d_accum=pack(g2d),
             vis2d_count=pack(g2d_iter),
             max_radius2d=pack(radius),
-            truncated_accum=jnp.zeros((), jnp.int32),
+            truncated_accum=np.zeros((), np.int32),
         )
+    # ONE bulk host->device transfer (mirror of the bulk fetch above)
+    new_model, new_stats = jax.device_put((new_model, new_stats))
     adam_src_full = np.full((cap,), -1, np.int32)
     adam_src_full[:n] = adam_src.astype(np.int32)
     sel_scores = score[selected] if selected.any() else np.zeros((1,))
@@ -329,9 +344,7 @@ def densify_and_prune(
         "score_p99": float(np.quantile(score, 0.99)) if len(score) else 0.0,
         "score_max": float(score.max()) if len(score) else 0.0,
         "sel_score_min": float(sel_scores.min()),
-        "truncated_accum": int(
-            np.asarray(stats.truncated_accum)
-        ) if stats.truncated_accum is not None else 0,
+        "truncated_accum": trunc_accum_host,
     }
     return new_model, new_stats, info
 
