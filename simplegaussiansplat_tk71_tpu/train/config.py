@@ -52,6 +52,8 @@ class TrainConfig:
     # (official cat_tensors_to_optimizer; False = reference full rebuild)
     adapt_max_per_tile: bool = True  # double K when truncation persists
     max_per_tile_limit: int = 2048  # ceiling for the adaptation
+    adapt_trunc_per_step: float = 1000.0  # dropped-fragments/step that
+    # triggers the doubling (a recompile is worth ~1k wrong gradients/step)
 
     # debug: checkify float_checks over the whole train step (raises on the
     # first NaN/Inf with op location). The reference's check_nan helper with

@@ -400,7 +400,7 @@ class Trainer:
         if not cfg.adapt_max_per_tile:
             return
         k = self.render_cfg.max_per_tile
-        if per_step > 1000 and k < cfg.max_per_tile_limit:
+        if per_step > cfg.adapt_trunc_per_step and k < cfg.max_per_tile_limit:
             new_k = min(2 * k, cfg.max_per_tile_limit)
             self.log(
                 f"[adapt @ {self.step}] raising max_per_tile {k} -> {new_k} "
