@@ -268,11 +268,16 @@ def main():
             flush()  # donation: buffers from the old graph stay fetchable
         if len(buf) >= args.flush_every:
             flush()
-        # offset by half a period so evals never land on the opacity-reset
-        # steps (multiples of 3000): an eval taken right after the reset
-        # measures the intentional transient, not fit quality (the round-3
-        # run-1 curve has 9 dB points at steps 3000/6000 for this reason)
-        if trainer.step % args.eval_every == args.eval_every // 2:
+        # offset evals off BOTH intentional-transient cadences: opacity
+        # resets (multiples of 3000 — the round-3 run-1 curve has 9 dB
+        # points at 3000/6000) AND densify events (multiples of 100 in
+        # [500, 15000] — half-period offsets land exactly on them, and an
+        # eval right after a split/clone measures the unoptimized children:
+        # r3b interim evals read ~26 dB at steps where the model renders
+        # ~32 dB sixty steps later). x60 mod 100 avoids both.
+        if trainer.step % args.eval_every == (
+            args.eval_every // 2 + 60
+        ) % args.eval_every:
             flush()
             last_eval = run_eval(trainer.step)
             t_step = time.time()
