@@ -166,12 +166,17 @@ def cmd_synthetic_train(args):
 
 
 def _load_model_any(path):
-    """Model from a .npz checkpoint or a reference .pt directory."""
+    """Model from a .npz checkpoint, official-3DGS .ply, or a reference
+    .pt directory."""
     import jax.numpy as jnp
 
     from simplegaussiansplat_tk71_tpu.models.gaussians import GaussianModel
     from simplegaussiansplat_tk71_tpu.train.checkpoint import load_reference_pt
 
+    if path.endswith(".ply"):
+        from simplegaussiansplat_tk71_tpu.data.ply import load_ply
+
+        return load_ply(path)
     if path.endswith(".npz"):
         data = np.load(path)
         return GaussianModel(
@@ -244,6 +249,14 @@ def cmd_render(args):
     print(f"wrote {min(args.count, len(scene.P))} renders to {args.out}")
 
 
+def cmd_export_ply(args):
+    from simplegaussiansplat_tk71_tpu.data.ply import save_ply
+
+    model = _load_model_any(args.checkpoint)
+    n = save_ply(args.out, model)
+    print(f"wrote {n} gaussians (sh degree {model.sh_degree}) to {args.out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="sgs-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -276,6 +289,15 @@ def main(argv=None):
     p.add_argument("--out", default="renders")
     p.add_argument("--count", type=int, default=5)
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "export-ply",
+        help="export a checkpoint as official-3DGS PLY (viewer interchange)",
+    )
+    p.add_argument("--checkpoint", required=True,
+                   help=".npz checkpoint or reference .pt directory")
+    p.add_argument("--out", required=True, help="output .ply path")
+    p.set_defaults(fn=cmd_export_ply)
 
     p = sub.add_parser("eval", help="PSNR/SSIM over scene cameras")
     p.add_argument("--checkpoint", required=True)
