@@ -117,7 +117,13 @@ def main():
         densify_from_iter=300, densify_until_iter=args.steps // 2,
         densification_interval=100, opacity_reset_interval=1000,
         max_per_tile=512, cull_alpha_min=1 / 255,
-        max_alive=60_000, growth_limit=2.0, max_screen_size=20.0,
+        # screen-prune radius scaled to this resolution: the r3 ablation
+        # measured the courtyard GT radius distribution p99 ~= 43 px at
+        # 400x266 (docs/artifacts/quality_run_r3/ABLATION.md), i.e. ~17 px
+        # at 160 wide; 24 px covers it with margin while still pruning
+        # degenerate monsters
+        max_alive=60_000, growth_limit=2.0,
+        max_screen_size=24.0 * args.width / 160.0,
     )
     train_model = init_from_points(
         cap.sfm_xyz, knn_mean_dist(cap.sfm_xyz, tcfg.knn_points),
@@ -144,7 +150,10 @@ def main():
     t_train = time.time()
     for P, K, imgs, b_idx in ds.batches(tcfg.batch_size, seed=0):
         trainer.run_step(P, K, imgs)
-        if trainer.step % 500 == 0:
+        # x460: off both the densify cadence (multiples of 100) and the
+        # opacity resets (multiples of 1000) — an eval right on an event
+        # step measures the intentional transient (see quality_run.py)
+        if trainer.step % 500 == 460:
             p, s, im0 = evaluate()
             rec = {"step": trainer.step, "psnr": round(p, 3),
                    "ssim": round(s, 4), "alive": trainer.n_alive}
