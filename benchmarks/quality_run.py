@@ -235,7 +235,7 @@ def main():
         if not buf:
             return
         vals = jax.device_get(buf)
-        for step_i, alive_i, dt_i, m in vals:
+        for step_i, alive_i, dt_i, m, idx_i in vals:
             rec = {
                 "step": step_i,
                 "loss": round(float(m["loss"]), 5),
@@ -248,7 +248,11 @@ def main():
             }
             mfile.write(json.dumps(rec) + "\n")
             if not bool(m["grads_finite"]):
-                log(f"WARNING: non-finite grads at step {step_i}")
+                # update was skipped (trainer rolls back params/opt/stats);
+                # the camera indices identify the batch for a repro harness
+                log(f"WARNING: non-finite step {step_i} SKIPPED "
+                    f"(cams {[int(c) for c in idx_i]}, "
+                    f"loss {float(m['loss']):.3e})")
         mfile.flush()
         last = vals[-1][3]
         log(f"step {vals[-1][0]}: loss={float(last['loss']):.5f} "
@@ -263,7 +267,7 @@ def main():
         m = trainer.run_step(P, K, imgs)
         dt = round(time.time() - t_step, 4)
         t_step = time.time()
-        buf.append((trainer.step, trainer.n_alive, dt, m))
+        buf.append((trainer.step, trainer.n_alive, dt, m, list(idx)))
         if trainer.model.capacity != step_before_cap:
             flush()  # donation: buffers from the old graph stay fetchable
         if len(buf) >= args.flush_every:

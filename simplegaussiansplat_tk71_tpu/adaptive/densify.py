@@ -122,6 +122,7 @@ def densify_and_prune(
     max_screen_size: float | None = None,
     max_alive: int | None = None,
     growth_limit: float | None = None,
+    world_prune: bool = True,
 ):
     """Returns (new_model, new_stats, info dict). Host-side (numpy).
 
@@ -267,9 +268,12 @@ def densify_and_prune(
 
     # --- prune ---
     sig_op = 1.0 / (1.0 + np.exp(-logit_op[:, 0]))
-    prune = (sig_op < prune_min_opacity) | (
-        np.exp(log_scale).max(axis=1) > 0.1 * extent
-    )
+    prune = sig_op < prune_min_opacity
+    if world_prune:
+        # world-size big-point prune (reference gs_model.py:250-253 applies
+        # it at every event; official 3DGS gates it with the screen prune —
+        # the Trainer passes the gate, direct callers get reference behavior)
+        prune |= np.exp(log_scale).max(axis=1) > 0.1 * extent
     n_screen_prune = 0
     if max_screen_size is not None:
         screen = radius > float(max_screen_size)

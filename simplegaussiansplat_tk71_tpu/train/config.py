@@ -87,6 +87,13 @@ class TrainConfig:
 
     # behavior quirks
     reset_adam_every_step: bool = False  # reference does this (gs_control.py:199)
+    # official 3DGS applies BOTH big-point prunes — screen radius AND the
+    # world-size max(scale) > 0.1*extent — only once size_threshold is set,
+    # i.e. after the first opacity reset. The reference applies the
+    # world-size prune at EVERY event (gs_model.py:250-253); at small camera
+    # extents that deletes the whole population at the first event (the kNN
+    # init scale alone can exceed 0.1*extent). True = reference parity.
+    world_prune_always: bool = False
     # official 3DGS zeroes the accumulators at every densify event; the
     # reference never resets (SURVEY 3.3) — that positive-feedback loop is
     # what exploded the round-2 quality run, so the official behavior is now

@@ -175,8 +175,22 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
                 checkify.check(
                     jnp.all(jnp.isfinite(g)), "non-finite grad: " + name
                 )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        # one bad step must not poison the run: the r3b quality run hit a
+        # transient non-finite batch at step 10826 (see NOTES.md round-3),
+        # the update was applied anyway, and Adam moments + params were NaN
+        # for the remaining 19k steps. Skip the whole update (params, opt
+        # state, densify-stat accumulation) when the loss or any gradient is
+        # non-finite; the step is still counted and flagged in metrics.
+        ok = jnp.isfinite(loss) & jnp.all(
+            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+        )
+        updates, opt_state_new = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: jnp.where(ok, p + u, p), params, updates
+        )
+        opt_state = jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), opt_state_new, opt_state
+        )
         # densify stats (adaptive/densify.DensifyStats):
         # - reference 3-D stat: accumulated ||dL/dmean|| + any-camera
         #   visibility (param_iter_update, gs_model.py:190-194)
@@ -189,20 +203,26 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
             [0.5 * W * B, 0.5 * H * B], jnp.float32
         ).reshape(1, 2, 1)
         g2n = jnp.sqrt(jnp.sum(jnp.square(g2), axis=1))  # (B, N)
+        # a skipped (non-finite) step contributes nothing to the densify
+        # statistics either — its forward/backward outputs are garbage
         stats = DensifyStats(
-            grad_norm_accum=stats.grad_norm_accum + gnorm,
-            visible_count=stats.visible_count + aux.visible.astype(jnp.int32),
-            grad2d_accum=stats.grad2d_accum + jnp.sum(g2n, axis=0),
-            vis2d_count=stats.vis2d_count + aux.visible_count,
-            max_radius2d=jnp.maximum(stats.max_radius2d, aux.max_radius2d),
+            grad_norm_accum=stats.grad_norm_accum + jnp.where(ok, gnorm, 0.0),
+            visible_count=stats.visible_count
+            + jnp.where(ok, aux.visible.astype(jnp.int32), 0),
+            grad2d_accum=stats.grad2d_accum
+            + jnp.where(ok, jnp.sum(g2n, axis=0), 0.0),
+            vis2d_count=stats.vis2d_count + jnp.where(ok, aux.visible_count, 0),
+            max_radius2d=jnp.where(
+                ok,
+                jnp.maximum(stats.max_radius2d, aux.max_radius2d),
+                stats.max_radius2d,
+            ),
             truncated_accum=stats.truncated_accum
-            + jnp.sum(aux.truncated).astype(jnp.int32),
+            + jnp.where(ok, jnp.sum(aux.truncated).astype(jnp.int32), 0),
         )
         # NaN sweep the reference keeps commented (check_nan,
         # gs_model.py:822-829) — here a single cheap reduced flag per step
-        grads_finite = jnp.all(
-            jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
-        )
+        grads_finite = ok
         metrics = {
             "loss": loss,
             "l1": l1,
@@ -439,14 +459,15 @@ class Trainer:
         ):
             cap_old = self.model.capacity
             use_2d = cfg.densify_stat == "grad2d"
-            # official 3DGS enables the screen-size prune only after the
-            # first opacity reset (densify_and_prune's size_threshold arg)
-            screen = (
-                cfg.max_screen_size
-                if cfg.opacity_reset_interval
+            # official 3DGS enables BOTH big-point prunes (screen radius and
+            # world-size 0.1*extent) only after the first opacity reset
+            # (densify_and_prune's size_threshold arg); the reference's
+            # always-on world prune stays reachable via world_prune_always
+            size_active = bool(
+                cfg.opacity_reset_interval
                 and self.step > cfg.opacity_reset_interval
-                else None
             )
+            screen = cfg.max_screen_size if size_active else None
             self.model, self.stats, info = densify_and_prune(
                 self.model,
                 self.stats,
@@ -466,6 +487,7 @@ class Trainer:
                 max_screen_size=screen,
                 max_alive=cfg.max_alive,
                 growth_limit=cfg.growth_limit,
+                world_prune=cfg.world_prune_always or size_active,
             )
             if cfg.morton_reorder:
                 # spatial row order (adaptive/reorder.py); compose the adam

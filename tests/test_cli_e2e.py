@@ -134,3 +134,17 @@ def test_full_cli_workflow(tmp_path):
     # trained for 25 steps from the true point cloud: should be > 20 dB
     mean_psnr = float(r.stdout.split("psnr=")[-1].split()[0])
     assert mean_psnr > 20.0, r.stdout
+
+    # viewer interchange: checkpoint -> official-3DGS PLY -> loadable model
+    ply = str(tmp_path / "model.ply")
+    r = _run_cli(
+        "export-ply", "--checkpoint", os.path.join(out, "ckpt_20.npz"),
+        "--out", ply,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote" in r.stdout
+
+    from simplegaussiansplat_tk71_tpu.data.ply import load_ply
+
+    m = load_ply(ply)
+    assert int(m.num_alive()) > 0 and m.sh_degree == 2

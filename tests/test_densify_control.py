@@ -337,3 +337,54 @@ def test_adaptive_max_per_tile_doubles_on_truncation():
         m = tr.run_step(P, K, imgs)
     assert tr.render_cfg.max_per_tile == 16
     assert np.isfinite(float(jax.device_get(m["loss"])))
+
+
+def test_world_prune_gating():
+    """Official 3DGS applies the world-size 0.1*extent prune only with the
+    screen prune (post-first-opacity-reset); world_prune=False must keep a
+    big-world gaussian that would otherwise be deleted. Regression for the
+    CLI e2e scene, where extent=0.125 vs kNN init scales ~0.27 deleted the
+    ENTIRE population at the first densify event."""
+    model = _model_with_stats(n=10, scale=0.05)
+    ls = np.asarray(model.log_scale).copy()
+    ls[1, 4] = np.log(5.0)  # row 4: max scale 5 > 0.1 * extent(=10)
+    model = model._replace(log_scale=jnp.asarray(ls))
+    stats = DensifyStats.zeros(16)
+    # default (direct call): reference behavior, unconditional world prune
+    _, _, info = densify_and_prune(
+        model, stats, extent=10.0, grad_threshold=1e9, prune_min_opacity=0.0,
+    )
+    assert info["alive"] == 9
+    # gated off (trainer pre-reset): the big gaussian survives
+    _, _, info2 = densify_and_prune(
+        model, stats, extent=10.0, grad_threshold=1e9, prune_min_opacity=0.0,
+        world_prune=False,
+    )
+    assert info2["alive"] == 10
+
+
+def test_trainer_world_prune_gated_pre_reset():
+    """Trainer-driven densify before the first opacity reset must not
+    world-prune: a near-degenerate camera extent (all cameras close
+    together) with normal kNN init scales keeps its population."""
+    gt, scene, images = _synthetic_scene(seed=3)
+    ds = SceneDataset(scene, images=images)
+    model = init_from_points(
+        scene.xyz, np.full(len(scene.xyz), 0.25, np.float32), capacity=64
+    )
+    cfg = TrainConfig(
+        batch_size=2, densify_from_iter=1, densification_interval=2,
+        densify_until_iter=100, opacity_reset_interval=3000,
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+    )
+    tr = Trainer(model, ds, cfg, log_fn=lambda *a: None)
+    tr.extent = 0.125  # the e2e failure extent; 0.1*extent << init scales
+    n0 = tr.n_alive
+    for P, K, imgs, _ in ds.batches(2, seed=0):
+        tr.run_step(P, K, imgs)
+        if tr.step >= 4:
+            break
+    assert tr.n_alive > 0.5 * n0, (
+        f"population collapsed {n0} -> {tr.n_alive} under pre-reset "
+        "world prune"
+    )

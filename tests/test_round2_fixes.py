@@ -385,3 +385,70 @@ def test_binning_rejects_cull_without_attrs():
             mean2d, bbox, depth, valid, (64, 64), tile_size=16,
             max_pairs=256, max_per_tile=32, cull_alpha_min=1.0 / 255,
         )
+
+
+def test_nonfinite_step_skipped():
+    """A batch that produces a non-finite loss/grads must not change params,
+    optimizer state, or densify stats (regression: r3b quality run step
+    10826 — one transient non-finite batch poisoned Adam and every later
+    step was NaN). The step after it must train normally."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+    from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+    from test_train import _synthetic_scene
+
+    gt, scene, images = _synthetic_scene(seed=11)
+    ds = SceneDataset(scene, images=images)
+    model = init_from_points(
+        scene.xyz, np.full(len(scene.xyz), 0.25, np.float32), capacity=64
+    )
+    cfg = TrainConfig(
+        batch_size=2, densify_from_iter=10_000, opacity_reset_interval=0,
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+    )
+    tr = Trainer(model, ds, cfg, log_fn=lambda *a: None)
+    batches = ds.batches(2, seed=0)
+    P, K, imgs, _ = next(batches)
+
+    m0 = tr.run_step(P, K, imgs)
+    assert bool(m0["grads_finite"])
+    params_before = jax.tree.map(np.asarray, tr.model.trainable())
+    opt_before = jax.tree.map(np.asarray, tr.opt_state)
+    stats_before = jax.tree.map(np.asarray, tr.stats)
+
+    bad = jnp.asarray(np.asarray(imgs)).at[0, 0, 0, 0].set(np.nan)
+    m1 = tr.run_step(P, K, bad)
+    assert not bool(m1["grads_finite"])
+    for a, b in zip(
+        jax.tree.leaves(params_before),
+        jax.tree.leaves(jax.tree.map(np.asarray, tr.model.trainable())),
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(opt_before),
+        jax.tree.leaves(jax.tree.map(np.asarray, tr.opt_state)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(
+        jax.tree.leaves(stats_before),
+        jax.tree.leaves(jax.tree.map(np.asarray, tr.stats)),
+    ):
+        np.testing.assert_array_equal(a, b)
+
+    # recovery: the next clean step trains and changes params
+    m2 = tr.run_step(P, K, imgs)
+    assert bool(m2["grads_finite"])
+    assert np.isfinite(float(m2["loss"]))
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(params_before),
+            jax.tree.leaves(tr.model.trainable()),
+        )
+    )
+    assert changed
