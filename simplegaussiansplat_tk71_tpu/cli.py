@@ -306,6 +306,21 @@ def main(argv=None):
     p.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args(argv)
+
+    # persistent compilation cache: densify capacity growth recompiles the
+    # train step at each new bucket (60 s - 17 min over a tunneled TPU);
+    # restarts and resumes replay those compiles from disk instead. Opt out
+    # with SGS_TPU_CACHE_DIR="".
+    cache_dir = os.environ.get(
+        "SGS_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "sgs_tpu_xla"),
+    )
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     return args.fn(args)
 
 
