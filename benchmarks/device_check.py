@@ -90,20 +90,31 @@ def main():
     import jax
 
     log("devices:", jax.devices())
-    results = [
-        check("n2k_w128_K256", 2000, 128, 256, 0.08),
-        check("n8k_w128_K512_trunc", 8000, 128, 512, 0.08),
-        check("n20k_w256_K512_trunc", 20000, 256, 512, 0.1),
-        check("n50k_w256_K1024", 50000, 256, 1024, 0.03),
+    configs = [
+        ("n2k_w128_K256", 2000, 128, 256, 0.08, 3, 0.0),
+        ("n8k_w128_K512_trunc", 8000, 128, 512, 0.08, 3, 0.0),
+        ("n20k_w256_K512_trunc", 20000, 256, 512, 0.1, 3, 0.0),
+        ("n50k_w256_K1024", 50000, 256, 1024, 0.03, 3, 0.0),
         # round-1 failure shapes of the pair-space backward (fixed round 2):
         # K=1024 at a tiny tile grid (T=64) hit a TPU INTERNAL error; the
         # truncation-heavy shapes corrupted ~15 gaussians
-        check("n20k_w128_K1024_T64", 20000, 128, 1024, 0.05),
+        ("n20k_w128_K1024_T64", 20000, 128, 1024, 0.05, 3, 0.0),
         # the bench default culls at 1/255 — cull used to orphan gradient
         # segments (key gaps, fixed structurally in ops/binning); both paths
         # share the binning cull so the comparison stays exact
-        check("n8k_w128_K512_cull", 8000, 128, 512, 0.08, cull=1 / 255),
-        check("n50k_w256_K1024_cull", 50000, 256, 1024, 0.03, cull=1 / 255),
+        ("n8k_w128_K512_cull", 8000, 128, 512, 0.08, 3, 1 / 255),
+        ("n50k_w256_K1024_cull", 50000, 256, 1024, 0.03, 3, 1 / 255),
+    ]
+    # optional substring filters: `device_check.py K512 K256` runs the
+    # matching subset (Mosaic compiles cost minutes each on a tunneled TPU;
+    # a cheap subset still catches lowering regressions after kernel edits)
+    pats = sys.argv[1:]
+    if pats:
+        configs = [c for c in configs if any(p in c[0] for p in pats)]
+        log(f"filtered to {[c[0] for c in configs]}")
+    results = [
+        check(tag, n, W, Kk, s, seed=seed, cull=cull)
+        for tag, n, W, Kk, s, seed, cull in configs
     ]
     sys.exit(0 if all(results) else 1)
 

@@ -71,7 +71,11 @@ def _forward_dense(mu, con, col, op, mask, pix):
     b = con[:, :, 1:2]
     c = con[:, :, 2:3]
     q = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
-    g = jnp.exp(-0.5 * q)
+    # gate q < 0 lanes to exactly 0 (numerically non-PSD conic from the f32
+    # det cancellation in ops/projection.py; ungated this is exp(+big) = inf
+    # and t_excl * alpha = 0 * inf = NaN — see ops/rasterize_pallas
+    # _gauss_weight and official 3DGS forward.cu "power > 0 -> skip")
+    g = jnp.where(q >= 0.0, jnp.exp(-0.5 * jnp.maximum(q, 0.0)), 0.0)
     alpha = op[:, :, None] * g
     alpha = jnp.where(mask[:, :, None], alpha, 0.0)
     # Masked slots can gather garbage attributes (incl. NaN after a divergent

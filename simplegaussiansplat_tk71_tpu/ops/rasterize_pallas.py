@@ -85,6 +85,24 @@ def _pixel_coords(tid, ntx, ts, pixel_offset):
     return px, py
 
 
+def _gauss_weight(q):
+    """exp(-0.5 q) gated to exactly 0 where q < 0.
+
+    A negative quadratic form only happens when the conic is numerically
+    non-PSD: ``det = s00*s11 - s01^2 + 1e-6`` (ops/projection.py) cancels
+    catastrophically in f32 for huge anisotropic 2-D covariances (entries
+    ~1e6 carry ~1e5 of rounding error), flipping the conic's sign. Ungated,
+    exp(+big) = inf and the composite's ``t_excl * alpha`` becomes 0 * inf
+    = NaN — the r3b quality run lost ~8% of its steps to this (NaN-batch
+    skip guard, train/trainer.py). Official 3DGS skips these fragments
+    (forward.cu: ``if (power > 0.0f) continue``); the reference crashes and
+    retries instead (gs_control.py:241-244). Gating g zeroes the fragment's
+    forward contribution AND every analytic gradient (all are proportional
+    to g or alpha). The inner maximum keeps exp finite even in the gated
+    lanes."""
+    return jnp.where(q >= 0.0, jnp.exp(-0.5 * jnp.maximum(q, 0.0)), 0.0)
+
+
 def _alphas(attrs, px, py):
     """Common forward core: returns (dx, dy, g, alpha, op_col) on (K, P)."""
     mux = attrs[0, :][:, None]
@@ -96,7 +114,7 @@ def _alphas(attrs, px, py):
     dx = px - mux  # (K, P)
     dy = py - muy
     q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-    g = jnp.exp(-0.5 * q)
+    g = _gauss_weight(q)
     alpha = op * g
     return dx, dy, g, alpha, op
 
@@ -161,7 +179,7 @@ def _blk_alphas(blk, px, py):
     dx = px - mux
     dy = py - muy
     q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-    alpha = op * jnp.exp(-0.5 * q)
+    alpha = op * _gauss_weight(q)
     return dx, dy, ca, cb, cc, op, alpha
 
 
@@ -453,7 +471,7 @@ def _forward_kernel_v2(
         cc = blk[4, :][:, None]
         op = blk[5, :][:, None]
         q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-        alpha = op * jnp.exp(-0.5 * q)
+        alpha = op * _gauss_weight(q)
         anti = 1.0 - alpha
         excl = _exclusive_cumprod(anti)
         w = (T * excl) * alpha  # (D, P); T is (1, P)
@@ -500,7 +518,7 @@ def _backward_kernel_v2(
         cc = blk[4, :][:, None]
         op = blk[5, :][:, None]
         q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-        g = jnp.exp(-0.5 * q)
+        g = _gauss_weight(q)
         alpha = op * g
         return blk, dx, dy, ca, cb, cc, op, g, alpha
 
