@@ -45,6 +45,27 @@ def main():
     ap.add_argument("--eval-holdout", type=int, default=20, help="every Nth cam held out")
     ap.add_argument("--max-per-tile", type=int, default=1024)
     ap.add_argument("--max-pairs", type=int, default=4_000_000)
+    ap.add_argument("--max-per-tile-limit", type=int, default=8192,
+                    help="ceiling for truncation-driven K doubling")
+    ap.add_argument("--max-pairs-limit", type=int, default=16_000_000,
+                    help="ceiling for overflow-driven max_pairs doubling")
+    ap.add_argument("--gt", default="prod", choices=["prod", "oracle"],
+                    help="ground-truth renderer: 'prod' = the production "
+                    "renderer (self-referential), 'oracle' = the independent "
+                    "float64 NumPy oracle (tests/oracle.py) with "
+                    "7-sigma windows — the code under test never produces "
+                    "its own targets (VERDICT round-3 next #1b)")
+    ap.add_argument("--gt-scale", type=float, default=1.0,
+                    help="gt_points_scale (~58k GT gaussians at 1.0)")
+    ap.add_argument("--point-scale-exp", type=float, default=0.0,
+                    help="shrink GT point size as count grows (0.5 = finer "
+                    "texture at constant coverage; see data/synthetic.py)")
+    ap.add_argument("--oracle-window-sigma", type=float, default=7.0)
+    ap.add_argument("--gt-only", action="store_true",
+                    help="render + cache the GT images, then exit — lets the "
+                    "CPU-bound oracle render run as a separate JAX_PLATFORMS="
+                    "cpu process while the TPU is busy; the training launch "
+                    "then loads the cache")
     ap.add_argument("--flush-every", type=int, default=50)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--smoke", action="store_true", help="tiny fast config (CI)")
@@ -123,7 +144,9 @@ def main():
         preserve_adam_on_densify=True,
         reset_stats_after_densify=True,
         adapt_max_per_tile=True,
-        max_per_tile_limit=2048,
+        max_per_tile_limit=args.max_per_tile_limit,
+        adapt_max_pairs=True,
+        max_pairs_limit=args.max_pairs_limit,
     )
     gt_cfg = RenderConfig(
         tile_size=cfg.tile_size, max_per_tile=args.max_per_tile,
@@ -134,16 +157,92 @@ def main():
     t0 = time.time()
     cap = make_courtyard_capture(
         n_cams=args.cams, width=args.width, height=args.height,
-        gt_points_scale=(0.02 if args.smoke else 1.0),
+        gt_points_scale=(0.02 if args.smoke else args.gt_scale),
         sfm_points=args.sfm_points,
+        point_scale_exp=args.point_scale_exp,
     )
     n_gt = int(cap.gt_model.num_alive())
     log(f"GT scene: {n_gt} gaussians; rendering {args.cams} views "
-        f"{args.width}x{args.height}")
-    images = render_capture_images(cap, gt_cfg, batch=2 if args.smoke else 10)
-    images = np.clip(images, 0.0, 1.0)
-    log(f"GT rendered in {time.time() - t0:.1f}s, mean={images.mean():.3f}")
+        f"{args.width}x{args.height} via {args.gt}")
+    scene_key = (
+        f"gt={args.gt} cams={args.cams} wh={args.width}x{args.height} "
+        f"scale={args.gt_scale} pexp={args.point_scale_exp} "
+        f"smoke={args.smoke} wsig={args.oracle_window_sigma}"
+    )
+    gt_cache = f"{args.out}/gt_images.npz"
+    bias_psnr = None
+    if os.path.exists(gt_cache):
+        z = np.load(gt_cache, allow_pickle=False)
+        if str(z["scene_key"]) == scene_key:
+            images = z["images"]
+            if "bias_psnr" in z and np.isfinite(float(z["bias_psnr"])):
+                bias_psnr = float(z["bias_psnr"])
+            log(f"GT loaded from cache ({gt_cache})")
+        else:
+            raise SystemExit(
+                f"{gt_cache} was rendered for a different scene "
+                f"({z['scene_key']} != {scene_key}); delete it to re-render"
+            )
+    elif args.gt == "oracle":
+        # independent float64 ground truth: windowed NumPy oracle
+        # (tests/oracle.py render_oracle; window error < exp(-sigma^2/2))
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "tests")
+        )
+        from oracle import render_oracle
+
+        gm = cap.gt_model
+        alive_np = np.asarray(gm.alive)
+        nb = (gm.sh_degree + 1) ** 2
+        model_np = {
+            "mean": np.asarray(gm.mean).T[alive_np].astype(np.float64),
+            "quat": np.asarray(gm.quat).T[alive_np].astype(np.float64),
+            "log_scale": np.asarray(gm.log_scale).T[alive_np].astype(np.float64),
+            "opacity": 1.0 / (1.0 + np.exp(
+                -np.asarray(gm.logit_opacity)[alive_np].astype(np.float64))),
+            "sh": np.asarray(gm.sh).T[alive_np].reshape(-1, nb, 3).astype(np.float64),
+        }
+        images = np.empty((args.cams, args.height, args.width, 3), np.float32)
+        for i in range(args.cams):
+            images[i] = render_oracle(
+                model_np, cap.P[i].astype(np.float64),
+                cap.K[i].astype(np.float64), args.width, args.height,
+                window_sigma=args.oracle_window_sigma,
+            )
+            if i % 10 == 0:
+                log(f"  oracle GT view {i}/{args.cams} "
+                    f"({time.time() - t0:.0f}s)")
+        images = np.clip(images, 0.0, 1.0)
+        # renderer-bias check: production render of the same GT model on 2
+        # views (the oracle-vs-production agreement VERDICT credits,
+        # NOTES.md round-3: 62.8 dB on the r3 scene)
+        prod_imgs, _ = __import__(
+            "simplegaussiansplat_tk71_tpu.render", fromlist=["render"]
+        ).render(gm, jnp.asarray(cap.P[:2]), jnp.asarray(cap.K[:2]),
+                 (args.width, args.height), gt_cfg)
+        prod_imgs = np.clip(np.asarray(prod_imgs), 0, 1)
+        bias_mse = float(np.mean((prod_imgs - images[:2]) ** 2))
+        bias_psnr = round(10 * np.log10(1.0 / max(bias_mse, 1e-12)), 2)
+        log(f"renderer bias (production vs oracle, 2 views): "
+            f"{bias_psnr} dB")
+        np.savez_compressed(gt_cache, images=images, scene_key=scene_key,
+                            bias_psnr=bias_psnr)
+    else:
+        images = render_capture_images(
+            cap, gt_cfg, batch=2 if args.smoke else 10
+        )
+        images = np.clip(images, 0.0, 1.0)
+        np.savez_compressed(gt_cache, images=images, scene_key=scene_key)
+    log(f"GT ready in {time.time() - t0:.1f}s, mean={images.mean():.3f}")
     save_png(f"{args.out}/gt_cam0.png", images[0])
+    if args.gt_only:
+        print(json.dumps({
+            "gt_cache": gt_cache, "gt_gaussians": n_gt,
+            "renderer_bias_psnr_prod_vs_oracle": bias_psnr,
+            "seconds": round(time.time() - t0, 1),
+        }))
+        return
 
     # train/holdout split
     idx_all = np.arange(args.cams)
@@ -326,6 +425,15 @@ def main():
         "steps": trainer.step,
         "cams": args.cams,
         "image": [args.width, args.height],
+        "gt_source": (
+            "float64 windowed NumPy oracle (tests/oracle.py render_oracle, "
+            f"window_sigma={args.oracle_window_sigma}) — independent of the "
+            "production renderer" if args.gt == "oracle"
+            else "production renderer (self-referential)"
+        ),
+        "renderer_bias_psnr_prod_vs_oracle": bias_psnr,
+        "final_max_per_tile": trainer.render_cfg.max_per_tile,
+        "final_max_pairs": trainer.render_cfg.max_pairs,
         "gt_gaussians": n_gt,
         "init_points": int(len(cap.sfm_xyz)),
         "final_alive": trainer.n_alive,

@@ -72,6 +72,9 @@ class DensifyStats(NamedTuple):
     vis2d_count: Optional[jnp.ndarray] = None  # (C,) int32 per-camera counter
     max_radius2d: Optional[jnp.ndarray] = None  # (C,) max screen radius, px
     truncated_accum: Optional[jnp.ndarray] = None  # () int32
+    dropped_accum: Optional[jnp.ndarray] = None  # () int32 pairs lost to
+    # max_pairs overflow since the last densify event (drives max_pairs
+    # adaptation, same contract as truncated_accum)
 
     @classmethod
     def zeros(cls, capacity: int) -> "DensifyStats":
@@ -82,6 +85,7 @@ class DensifyStats(NamedTuple):
             vis2d_count=jnp.zeros((capacity,), jnp.int32),
             max_radius2d=jnp.zeros((capacity,), jnp.float32),
             truncated_accum=jnp.zeros((), jnp.int32),
+            dropped_accum=jnp.zeros((), jnp.int32),
         )
 
 
@@ -148,11 +152,11 @@ def densify_and_prune(
     import jax
 
     (alive, mean_d, quat_d, lsc_d, lop_d, sh_d, gn_d, gi_d, g2_d, g2i_d,
-     rad_d, trunc_d) = jax.device_get((
+     rad_d, trunc_d, drop_d) = jax.device_get((
         model.alive, model.mean, model.quat, model.log_scale,
         model.logit_opacity, model.sh, stats.grad_norm_accum,
         stats.visible_count, stats.grad2d_accum, stats.vis2d_count,
-        stats.max_radius2d, stats.truncated_accum,
+        stats.max_radius2d, stats.truncated_accum, stats.dropped_accum,
     ))
     alive = np.asarray(alive)
     rows = np.where(alive)[0].astype(np.int64)  # old capacity row per alive
@@ -167,6 +171,7 @@ def densify_and_prune(
     g2d_iter = _np_or_zeros(g2i_d, cap_old, np.int32)[alive]
     radius = _np_or_zeros(rad_d, cap_old, np.float32)[alive]
     trunc_accum_host = int(trunc_d) if trunc_d is not None else 0
+    drop_accum_host = int(drop_d) if drop_d is not None else 0
     n_alive0 = len(mean)
 
     # adam_src: survivors keep their moments; children/clones start fresh.
@@ -325,6 +330,7 @@ def densify_and_prune(
             vis2d_count=pack(g2d_iter),
             max_radius2d=pack(radius),
             truncated_accum=np.zeros((), np.int32),
+            dropped_accum=np.zeros((), np.int32),
         )
     # ONE bulk host->device transfer (mirror of the bulk fetch above)
     new_model, new_stats = jax.device_put((new_model, new_stats))
@@ -349,6 +355,7 @@ def densify_and_prune(
         "score_max": float(score.max()) if len(score) else 0.0,
         "sel_score_min": float(sel_scores.min()),
         "truncated_accum": trunc_accum_host,
+        "dropped_accum": drop_accum_host,
     }
     return new_model, new_stats, info
 

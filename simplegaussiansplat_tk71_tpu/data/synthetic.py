@@ -36,14 +36,23 @@ def _checker(x, z, period=1.0):
     return ((np.floor(x / period) + np.floor(z / period)) % 2).astype(np.float32)
 
 
-def _courtyard_points(n_scale: float, rng):
-    """Structured point soup: (xyz, rgb in [0,1], scale). y is up."""
+def _courtyard_points(n_scale: float, rng, point_scale_exp: float = 0.0):
+    """Structured point soup: (xyz, rgb in [0,1], scale). y is up.
+
+    point_scale_exp: shrink per-point gaussian size as the count grows —
+    scale *= n_scale ** (-point_scale_exp). At 0.5 the inter-point spacing
+    on a surface (~n^-1/2) and the point size shrink together, so a larger
+    n_scale means FINER texture at constant coverage instead of more
+    overlap; the round-4 oracle-GT quality run uses this to give the scene
+    real-photo-like high-frequency detail that drives densification toward
+    the reference's ~514k end state (opacity.pt)."""
+    size_mul = float(n_scale) ** (-point_scale_exp) if n_scale > 0 else 1.0
     pts, cols, scl = [], [], []
 
     def add(p, c, s):
         pts.append(p.astype(np.float32))
         cols.append(c.astype(np.float32))
-        scl.append(np.full(len(p), s, np.float32))
+        scl.append(np.full(len(p), s * size_mul, np.float32))
 
     # ground plane [-10, 10]^2 at y=0: checker + grass noise
     ng = int(14000 * n_scale)
@@ -149,10 +158,13 @@ def make_courtyard_capture(
     seed: int = 0,
     sh_degree: int = 2,
     view_dep: float = 0.15,
+    point_scale_exp: float = 0.0,
 ) -> SyntheticCapture:
     """Build the courtyard capture.
 
-    gt_points_scale scales the GT gaussian count (~58k at 1.0).
+    gt_points_scale scales the GT gaussian count (~58k at 1.0);
+    point_scale_exp > 0 shrinks point sizes as the count grows (finer
+    texture instead of more overlap — see _courtyard_points).
     view_dep adds small random degree-1 SH coefficients (view-dependent
     shading, so the trainer must fit more than a diffuse field).
     Image size default mirrors the reference bundle (100 JPGs resized to
@@ -163,7 +175,9 @@ def make_courtyard_capture(
     from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
 
     rng = np.random.default_rng(seed)
-    xyz, rgb, scale = _courtyard_points(gt_points_scale, rng)
+    xyz, rgb, scale = _courtyard_points(
+        gt_points_scale, rng, point_scale_exp=point_scale_exp
+    )
     n = len(xyz)
 
     gt = init_from_points(xyz, scale, opacity_init=0.9, sh_degree=sh_degree)

@@ -87,6 +87,7 @@ def make_gauss_sharded_train_step(
         vis2d_count=P(gauss_axis),
         max_radius2d=P(gauss_axis),
         truncated_accum=P(),
+        dropped_accum=P(),
     )
     width_f, height_f = float(img_wh[0]), float(img_wh[1])
 
@@ -234,6 +235,8 @@ def make_gauss_sharded_train_step(
             ),
             truncated_accum=stats.truncated_accum
             + jax.lax.psum(truncated, data_axis).astype(jnp.int32),
+            dropped_accum=stats.dropped_accum
+            + jax.lax.psum(dropped, data_axis).astype(jnp.int32),
         )
         metrics = {
             "loss": loss,

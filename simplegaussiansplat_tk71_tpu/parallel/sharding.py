@@ -82,6 +82,10 @@ def make_sharded_train_step(
             ),
             truncated_accum=stats.truncated_accum
             + jax.lax.psum(jnp.sum(aux.truncated), axis_name).astype(jnp.int32),
+            dropped_accum=stats.dropped_accum
+            + jax.lax.psum(jnp.sum(aux.dropped_pairs), axis_name).astype(
+                jnp.int32
+            ),
         )
         metrics = {
             "loss": loss,

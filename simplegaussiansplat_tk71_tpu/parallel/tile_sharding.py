@@ -203,9 +203,10 @@ def make_tile_sharded_train_step(
             grad2d_accum=stats.grad2d_accum + g2n,
             vis2d_count=stats.vis2d_count + vis_count,
             max_radius2d=jnp.maximum(stats.max_radius2d, radius),
-            # per-tile truncation is not surfaced by this path's per_camera
-            # (image-only); the single-chip and DP paths track it
+            # per-tile truncation/overflow is not surfaced by this path's
+            # per_camera (image-only); the single-chip and DP paths track it
             truncated_accum=stats.truncated_accum,
+            dropped_accum=stats.dropped_accum,
         )
         metrics = {"loss": loss, "l1": l1, "dssim": dssim}
         return params, opt_state, stats, metrics

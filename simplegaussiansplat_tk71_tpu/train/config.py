@@ -51,9 +51,22 @@ class TrainConfig:
     preserve_adam_on_densify: bool = True  # keep survivors' Adam moments
     # (official cat_tensors_to_optimizer; False = reference full rebuild)
     adapt_max_per_tile: bool = True  # double K when truncation persists
-    max_per_tile_limit: int = 2048  # ceiling for the adaptation
+    max_per_tile_limit: int = 8192  # ceiling for the adaptation (round-4:
+    # was 2048, which the r3b quality run hit while still dropping ~2.3k
+    # fragments/step — VERDICT round-3 "next" #3 treats truncated > 0 as a
+    # failed invariant, so the ceiling now sits far above observed demand;
+    # seg_len early-out keeps large K cheap on sparse tiles)
     adapt_trunc_per_step: float = 1000.0  # dropped-fragments/step that
     # triggers the doubling (a recompile is worth ~1k wrong gradients/step)
+    adapt_trunc_final_per_step: float = 0.0  # stricter trigger once
+    # densification has ended (step > densify_until_iter): any persistent
+    # truncation in the final phase would land in the artifact's
+    # truncated_last_1k_steps — drive it to exactly zero
+    adapt_max_pairs: bool = True  # double max_pairs when the global pair
+    # buffer overflows (dropped_pairs > 0): overflow drops whole
+    # gaussian-tile pairs, corrupting images AND gradients; checked at
+    # densify events and every densification_interval after densify ends
+    max_pairs_limit: int = 16_000_000  # ceiling for max_pairs adaptation
 
     # debug: checkify float_checks over the whole train step (raises on the
     # first NaN/Inf with op location). The reference's check_nan helper with

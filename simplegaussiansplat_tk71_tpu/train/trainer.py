@@ -219,6 +219,8 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
             ),
             truncated_accum=stats.truncated_accum
             + jnp.where(ok, jnp.sum(aux.truncated).astype(jnp.int32), 0),
+            dropped_accum=stats.dropped_accum
+            + jnp.where(ok, jnp.sum(aux.dropped_pairs).astype(jnp.int32), 0),
         )
         # NaN sweep the reference keeps commented (check_nan,
         # gs_model.py:822-829) — here a single cheap reduced flag per step
@@ -310,6 +312,12 @@ class Trainer:
         self.log = log_fn
         self.densify_cb = densify_cb  # called with the event info dict
         self.densify_events = []  # instrumentation (VERDICT round-2 next #1)
+        # host mirrors of the overflow accumulators for the post-densify
+        # polling path (_post_densify_overflow_check); reset whenever the
+        # device accumulators are (densify events repack stats with zeroed
+        # scalar accumulators in both reset_stats branches)
+        self._trunc_seen = 0
+        self._dropped_seen = 0
         self._rng = np.random.default_rng(config.seed)
         self._train_step = make_train_step(
             config, self.render_cfg, dataset.img_wh, self.optimizer
@@ -349,20 +357,27 @@ class Trainer:
             vis2d_count=stat("vis2d_count", zeroed.vis2d_count),
             max_radius2d=stat("max_radius2d", zeroed.max_radius2d),
             truncated_accum=stat("truncated_accum", zeroed.truncated_accum),
+            dropped_accum=stat("dropped_accum", zeroed.dropped_accum),
         )
         self.step = int(data["step"])
         # re-apply adapted run state (e.g. a max_per_tile raised by the
         # truncation adaptation) before the step function is rebuilt
+        adapted = {}
         if "extra.max_per_tile" in data:
             k = int(data["extra.max_per_tile"])
             if k != self.render_cfg.max_per_tile:
-                self.log(f"[restore] max_per_tile {self.render_cfg.max_per_tile}"
-                         f" -> {k} (from checkpoint)")
-                self.render_cfg = self.render_cfg._replace(max_per_tile=k)
-                self._train_step = make_train_step(
-                    self.config, self.render_cfg, self.dataset.img_wh,
-                    self.optimizer,
-                )
+                adapted["max_per_tile"] = k
+        if "extra.max_pairs" in data:
+            p = int(data["extra.max_pairs"])
+            if p != self.render_cfg.max_pairs:
+                adapted["max_pairs"] = p
+        if adapted:
+            self.log(f"[restore] adapted run state from checkpoint: {adapted}")
+            self.render_cfg = self.render_cfg._replace(**adapted)
+            self._train_step = make_train_step(
+                self.config, self.render_cfg, self.dataset.img_wh,
+                self.optimizer,
+            )
         self._reinit_opt()
         leaves, treedef = jax.tree_util.tree_flatten_with_path(self.opt_state)
         mismatch = []
@@ -389,7 +404,10 @@ class Trainer:
 
     def checkpoint_extra(self) -> dict:
         """Run state for save_checkpoint's ``extra`` (restore re-applies)."""
-        return {"max_per_tile": self.render_cfg.max_per_tile}
+        extra = {"max_per_tile": self.render_cfg.max_per_tile}
+        if self.render_cfg.max_pairs is not None:
+            extra["max_pairs"] = self.render_cfg.max_pairs
+        return extra
 
     def _reinit_opt(self):
         # fresh Adam over the (possibly re-packed) tensors — the reference
@@ -419,8 +437,17 @@ class Trainer:
         )
         if not cfg.adapt_max_per_tile:
             return
+        # after densification ends the population is fixed (modulo nothing —
+        # no more events), so any persistent truncation would sit in the
+        # final-phase metrics forever; use the stricter trigger (VERDICT
+        # round-3 next #3: steady-state truncated == 0 is an invariant)
+        trigger = (
+            cfg.adapt_trunc_final_per_step
+            if self.step > cfg.densify_until_iter
+            else cfg.adapt_trunc_per_step
+        )
         k = self.render_cfg.max_per_tile
-        if per_step > cfg.adapt_trunc_per_step and k < cfg.max_per_tile_limit:
+        if per_step > trigger and k < cfg.max_per_tile_limit:
             new_k = min(2 * k, cfg.max_per_tile_limit)
             self.log(
                 f"[adapt @ {self.step}] raising max_per_tile {k} -> {new_k} "
@@ -431,6 +458,52 @@ class Trainer:
                 self.config, self.render_cfg, self.dataset.img_wh,
                 self.optimizer,
             )
+
+    def _maybe_adapt_max_pairs(self, dropped_accum: int):
+        """Double the global pair buffer when it overflowed (dropped whole
+        gaussian-tile pairs = wrong pixels and wrong gradients, silently
+        concentrated in the densest views). Any overflow triggers: unlike
+        per-tile truncation there is no graceful-degradation argument — the
+        binning sort scales with the static max_pairs, so the buffer is kept
+        tight and grown only on demand."""
+        cfg = self.config
+        if dropped_accum <= 0:
+            return
+        self.log(
+            f"[pair overflow @ {self.step}] {dropped_accum} pairs dropped "
+            f"since last check at max_pairs={self.render_cfg.max_pairs}"
+        )
+        if not cfg.adapt_max_pairs or self.render_cfg.max_pairs is None:
+            return
+        p = self.render_cfg.max_pairs
+        if p < cfg.max_pairs_limit:
+            new_p = min(2 * p, cfg.max_pairs_limit)
+            self.log(
+                f"[adapt @ {self.step}] raising max_pairs {p} -> {new_p} "
+                "(train step will recompile)"
+            )
+            self.render_cfg = self.render_cfg._replace(max_pairs=new_p)
+            self._train_step = make_train_step(
+                self.config, self.render_cfg, self.dataset.img_wh,
+                self.optimizer,
+            )
+
+    def _post_densify_overflow_check(self):
+        """Overflow adaptation after densification has ended.
+
+        During the densify phase, events carry truncated/dropped accumulators
+        to the adaptation hooks; past densify_until_iter there are no events,
+        which is exactly when the r3b run was left dropping ~2.3k
+        fragments/step with no mechanism to react. Poll the two scalar
+        accumulators at the event cadence (one 2-int device fetch every
+        densification_interval steps) and keep adapting."""
+        tr, dr = jax.device_get(
+            (self.stats.truncated_accum, self.stats.dropped_accum)
+        )
+        tr, dr = int(tr), int(dr)
+        self._maybe_adapt_max_per_tile(tr - self._trunc_seen)
+        self._maybe_adapt_max_pairs(dr - self._dropped_seen)
+        self._trunc_seen, self._dropped_seen = tr, dr
 
     def run_step(self, P, K, target, mask=None):
         """One optimization step on a batch of cameras.
@@ -526,6 +599,9 @@ class Trainer:
                 f"p90={info['score_p90']:.2e} p99={info['score_p99']:.2e}"
             )
             self._maybe_adapt_max_per_tile(info["truncated_accum"])
+            self._maybe_adapt_max_pairs(info.get("dropped_accum", 0))
+            self._trunc_seen = 0
+            self._dropped_seen = 0
             if info["alive"] == 0 or info["prune"] > 2 * max(info["alive"], 1):
                 self.log(
                     "WARNING: densify pruned most/all gaussians — scene "
@@ -533,6 +609,12 @@ class Trainer:
                     "to the gaussian scales (prune rule: max scale > 0.1 * "
                     "extent). Check camera poses / knn init."
                 )
+        if (
+            (cfg.adapt_max_per_tile or cfg.adapt_max_pairs)
+            and self.step > cfg.densify_until_iter
+            and self.step % cfg.densification_interval == 0
+        ):
+            self._post_densify_overflow_check()
         if (
             cfg.opacity_reset_interval
             and self.step % cfg.opacity_reset_interval == 0

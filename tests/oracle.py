@@ -185,7 +185,93 @@ def composite_oracle_vec(
     return img.reshape(H, W, 3)
 
 
-def render_oracle(model_np, P, K, W, H, sh_degree=2):
+def composite_oracle_windowed(
+    mean2d, conic, color, opacity, depth, W, H, pixel_offset=0.5,
+    window_sigma=7.0, block=16, z_valid=None,
+):
+    """Float64 composite with per-gaussian elliptical windows (fast oracle).
+
+    Identical spec math to composite_oracle_vec, except each gaussian is only
+    evaluated inside the bounding box of its ``window_sigma``-sigma level set
+    of the evaluated quadratic q = d^T conic d (for q = a dx^2 + 2b dx dy +
+    c dy^2 the box half-extents are r*sqrt(c/det), r*sqrt(a/det)).  Excluded
+    terms contribute alpha < exp(-window_sigma^2 / 2) (= 2.3e-11 at 7 sigma),
+    so agreement with the unwindowed oracle is far beyond f32 PSNR scales —
+    asserted by tests/test_oracle_fast.py.  Needed because oracle ground
+    truth at O(100k) gaussians is O(N * W * H) unwindowed (hours on the 2
+    CPU cores here); windowed it is O(sum of box areas).
+
+    Gaussians whose conic is not positive definite (det <= 0 — cannot happen
+    for well-conditioned GT models; the production path gates them to zero,
+    ops/rasterize) fall back to the full image window.
+    """
+    mean2d = np.asarray(mean2d, np.float64)
+    conic = np.asarray(conic, np.float64)
+    color = np.asarray(color, np.float64)
+    opacity = np.asarray(opacity, np.float64)
+    depth = np.asarray(depth, np.float64)
+    if z_valid is not None:
+        keep = np.asarray(z_valid, bool)
+        mean2d, conic, color = mean2d[keep], conic[keep], color[keep]
+        opacity, depth = opacity[keep], depth[keep]
+    order = np.argsort(depth, kind="stable")
+    mean2d, conic, color, opacity = (
+        mean2d[order], conic[order], color[order], opacity[order]
+    )
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    det = a * c - b * b
+    psd = det > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rx = np.where(psd, window_sigma * np.sqrt(np.abs(c) / np.abs(det)), W)
+        ry = np.where(psd, window_sigma * np.sqrt(np.abs(a) / np.abs(det)), H)
+    x_lo, x_hi = mean2d[:, 0] - rx, mean2d[:, 0] + rx
+    y_lo, y_hi = mean2d[:, 1] - ry, mean2d[:, 1] + ry
+
+    img = np.zeros((H, W, 3))
+    ones_T = None
+    for by in range(0, H, block):
+        for bx in range(0, W, block):
+            bw = min(block, W - bx)
+            bh = min(block, H - by)
+            # pixel centers of this block
+            px = bx + pixel_offset + np.arange(bw)
+            py = by + pixel_offset + np.arange(bh)
+            sel = (
+                (x_hi >= px[0]) & (x_lo <= px[-1])
+                & (y_hi >= py[0]) & (y_lo <= py[-1])
+            )
+            if not sel.any():
+                continue
+            idx = np.nonzero(sel)[0]  # ascending = depth order preserved
+            xs, ys = np.meshgrid(px, py)
+            xs, ys = xs.ravel()[None, :], ys.ravel()[None, :]
+            dx = xs - mean2d[idx, 0:1]  # (M, P)
+            dy = ys - mean2d[idx, 1:2]
+            q = (
+                a[idx, None] * dx * dx + 2 * b[idx, None] * dx * dy
+                + c[idx, None] * dy * dy
+            )
+            # evaluate exp only inside each gaussian's window ellipse — the
+            # quadratic is cheap (fused mul/add) but the dense exp dominated
+            # the oracle's runtime; outside-window terms are exactly the
+            # ones the windowing already excludes (q > window_sigma^2)
+            gk = np.zeros_like(q)
+            inside = q < window_sigma * window_sigma
+            gk[inside] = np.exp(-0.5 * q[inside])
+            alpha = opacity[idx, None] * gk
+            T = np.cumprod(1.0 - alpha, axis=0)
+            T_excl = np.concatenate(
+                [np.ones((1, alpha.shape[1])), T[:-1]], axis=0
+            )
+            w = T_excl * alpha
+            img[by : by + bh, bx : bx + bw] = (w.T @ color[idx]).reshape(
+                bh, bw, 3
+            )
+    return img
+
+
+def render_oracle(model_np, P, K, W, H, sh_degree=2, window_sigma=None,
+                  block=16):
     """Full-frame float64 oracle render of a GaussianModel's alive rows.
 
     model_np: dict of numpy arrays {mean (N,3), quat (N,4), log_scale (N,3),
@@ -193,13 +279,24 @@ def render_oracle(model_np, P, K, W, H, sh_degree=2):
     sigmoided). Projection per project_oracle (the reference's math), color
     via sh_oracle along -normalize(camera-space position), compositing via
     composite_oracle_vec over all z > 0 gaussians. Completely independent of
-    the production JAX path: float64, no tiling, no per-tile K, no culling."""
+    the production JAX path: float64, no tiling, no per-tile K, no culling.
+
+    window_sigma: None = exact unwindowed composite; a float (e.g. 7.0)
+    switches to composite_oracle_windowed (identical math inside each
+    gaussian's window_sigma-sigma ellipse box; per-term error < exp(-w^2/2))
+    for oracle GT at scales where the dense composite is intractable."""
     pr = project_oracle(
         model_np["mean"], model_np["quat"], model_np["log_scale"], P, K
     )
     cam = pr["mean_cam"]
     d = -cam / np.maximum(np.linalg.norm(cam, axis=1, keepdims=True), 1e-12)
     color = sh_oracle(model_np["sh"], d, sh_degree)
+    if window_sigma is not None:
+        return composite_oracle_windowed(
+            pr["mean2d"], pr["conic"], color, model_np["opacity"],
+            pr["depth"], W, H, window_sigma=window_sigma, block=block,
+            z_valid=pr["depth"] > 1e-2,
+        )
     return composite_oracle_vec(
         pr["mean2d"], pr["conic"], color, model_np["opacity"], pr["depth"],
         W, H, z_valid=pr["depth"] > 1e-2,
