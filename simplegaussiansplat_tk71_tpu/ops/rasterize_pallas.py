@@ -348,7 +348,124 @@ def _tile_grads(attrs, gimg, px, py, D, tril, triu):
     return grads * valid_k
 
 
-def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
+def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
+    """_tile_grads bounded by the tile's true list length + transmittance
+    saturation (round-4: the full-K backward computed every padding slot —
+    the forward has had both skips since round 2, the backward neither).
+
+    Pass A walks depth blocks front-to-back: per-block exclusive cumprod
+    (Hillis-Steele within the block, multiplicative carry across blocks,
+    linear space — no log/exp) into a (K, P) transmittance buffer, stopping
+    at ceil(lk / D) blocks or once every pixel's carry underflows to exactly
+    0.0f (the same bit-exact dead-T bound as _forward_kernel). Pass B walks
+    the alive blocks back-to-front carrying the exclusive suffix sum (MXU
+    strict-upper tri-matmul per block, same association as _suffix_sum_mxu)
+    and writes each block's analytic gradients. Skipped blocks keep zero
+    gradients — identical to what the full-K math produces there (padding
+    slots have op == 0; saturated slots have t_excl == 0 AND zero suffix).
+    VPU work scales with the alive prefix instead of K (bench avg list
+    occupancy ~0.77, saturation cuts more on dense tiles)."""
+    K = attrs.shape[-1]
+    P = px.shape[-1]
+    nb_max = K // D
+    nb = pl.cdiv(jnp.minimum(jnp.maximum(lk, 0), K), D)
+
+    def a_cond(c):
+        b, _, _, tc = c
+        return jnp.logical_and(b < nb, jnp.max(tc) > 0.0)
+
+    def a_body(c):
+        b, t_buf, g_buf, tc = c
+        start = pl.multiple_of(b * D, D)
+        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
+        mux = blk[0, :][:, None]
+        muy = blk[1, :][:, None]
+        ca = blk[2, :][:, None]
+        cb = blk[3, :][:, None]
+        cc = blk[4, :][:, None]
+        op = blk[5, :][:, None]
+        dx = px - mux
+        dy = py - muy
+        q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+        g = _gauss_weight(q)
+        anti = 1.0 - op * g
+        excl = _exclusive_cumprod(anti) * tc  # (D, P) exclusive in-tile T
+        t_buf = jax.lax.dynamic_update_slice(t_buf, excl, (start, 0))
+        g_buf = jax.lax.dynamic_update_slice(g_buf, g, (start, 0))
+        tc = excl[D - 1:D, :] * anti[D - 1:D, :]
+        return b + 1, t_buf, g_buf, tc
+
+    nb_eff, t_buf, g_buf, _ = jax.lax.while_loop(
+        a_cond, a_body,
+        (jnp.int32(0), jnp.zeros((K, P), jnp.float32),
+         jnp.zeros((K, P), jnp.float32), jnp.ones((1, P), jnp.float32)),
+    )
+
+    def b_cond(c):
+        b = c[0]
+        return b >= 0
+
+    def b_body(c):
+        b, grads, carry = c
+        start = pl.multiple_of(b * D, D)
+        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
+        mux = blk[0, :][:, None]
+        muy = blk[1, :][:, None]
+        ca = blk[2, :][:, None]
+        cb = blk[3, :][:, None]
+        cc = blk[4, :][:, None]
+        op = blk[5, :][:, None]
+        dx = px - mux
+        dy = py - muy
+        g = jax.lax.dynamic_slice(g_buf, (start, 0), (D, P))
+        t_excl = jax.lax.dynamic_slice(t_buf, (start, 0), (D, P))
+        alpha = op * g
+        ck = jax.lax.dot_general(
+            blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (D, P)
+        w = t_excl * alpha
+        wk = w * ck
+        suffix = _tri_matmul(triu, wk) + carry
+        carry = suffix[0:1, :] + wk[0:1, :]
+        anti_safe = jnp.maximum(1.0 - alpha, 1e-8)
+        u = t_excl * ck - suffix / anti_safe
+        u = jnp.where(op > 0.0, u, 0.0)
+        m = op * u * g
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        g_col = jax.lax.dot_general(
+            gimg, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (3, D)
+        gb = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+        gb = jnp.concatenate([gb, g_col], axis=0)  # (9, D)
+        gb = gb * (blk[5, :] > 0.0).astype(jnp.float32)[None, :]
+        grads = jax.lax.dynamic_update_slice(grads, gb, (0, start))
+        return b - 1, grads, carry
+
+    _, grads, _ = jax.lax.while_loop(
+        b_cond, b_body,
+        (nb_eff - 1, jnp.zeros((9, K), jnp.float32),
+         jnp.zeros((1, P), jnp.float32)),
+    )
+    return grads
+
+
+# blocked backward (seg_len + dead-T bounds in the gradient kernels, round
+# 4). Default OFF until device_check validates it on the real chip —
+# interpret-mode tests cannot catch Mosaic/XLA lowering bugs (NOTES.md, the
+# denormal-flush lesson); benchmarks/device_check.py runs both settings.
+BWD_BLOCKED = __import__("os").environ.get("SGS_BWD_BLOCKED", "0") == "1"
+
+
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
     # Single pass per tile over full (K, P) arrays. The phase-split MXU
     # variant measured SLOWER (39 vs 25 ms) despite fewer VPU ops — scratch
     # round-trips and dependent small matmuls stall; see BWD_IMPL above.
@@ -359,8 +476,14 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, tile_ids_ref, attrs_ref,
     for t in range(tile_block):
         attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
-        px, py = _pixel_coords(tile_ids_ref[pid * tile_block + t], ntx, ts, pixel_offset)
-        grads = _tile_grads(attrs, gimg, px, py, D, tril, triu)
+        gi = pid * tile_block + t
+        px, py = _pixel_coords(tile_ids_ref[gi], ntx, ts, pixel_offset)
+        if BWD_BLOCKED:
+            grads = _tile_grads_blocked(
+                attrs, gimg, px, py, D, triu, seg_len_ref[gi]
+            )
+        else:
+            grads = _tile_grads(attrs, gimg, px, py, D, tril, triu)
         grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
 
 
@@ -403,14 +526,19 @@ def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
         t = s * TB + i
         gimg = gimg_ref[i, :3, :]
         px, py = _pixel_coords(tile_ids_ref[t], ntx, ts, pixel_offset)
-        grads = _tile_grads(attrs_ref[i], gimg, px, py, D, tril, triu)
+        lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
+        if BWD_BLOCKED:
+            grads = _tile_grads_blocked(
+                attrs_ref[i], gimg, px, py, D, triu, lk
+            )
+        else:
+            grads = _tile_grads(attrs_ref[i], gimg, px, py, D, tril, triu)
         # slot key rides as row 9 (bit-exact moves only)
         rows10 = jnp.concatenate([grads, attrs_ref[i, KEY_ROW:KEY_ROW + 1, :]], axis=0)
         rows10 = jnp.pad(
             rows10, ((0, NUM_ATTR_ROWS - 10), (0, CAP - K))
         )
         off = slot_start_ref[t] - a0  # in [0, CAP - K]
-        lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
         rolled = pltpu.roll(rows10, off, axis=1)
         acc = jnp.where((lane >= off) & (lane < off + lk), rolled, acc)
     # hand the trailing partial chunk to the next program
@@ -727,11 +855,17 @@ def composite_tiles_pallas_bwd(
     if T_pad != T:
         attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0), (0, 0)))
         g_tiles = jnp.pad(g_tiles, ((0, T_pad - T), (0, 0), (0, 0)))
+    if seg_len is None:
+        # no list lengths known (id-table path): process all K slots
+        seg_len_p = jnp.full((T_pad,), K, jnp.int32)
+    else:
+        seg_len_p = jnp.pad(seg_len.astype(jnp.int32), (0, T_pad - T))
     kernel = functools.partial(_backward_kernel, ntx, ts, pixel_offset, TB)
     out = pl.pallas_call(
         kernel,
         grid=(T_pad // TB,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seg lengths
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tile ids
             pl.BlockSpec((TB, A, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 8, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -743,7 +877,7 @@ def composite_tiles_pallas_bwd(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(_tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
+    )(seg_len_p, _tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
 
 
