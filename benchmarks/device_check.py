@@ -89,6 +89,10 @@ def check(tag, n, W, Kk, scale, seed=3, cull=0.0):
 def main():
     import jax
 
+    # persistent compile cache: repeat invocations (e.g. kernel-flag A/Bs)
+    # replay prior Mosaic compiles instead of paying minutes each
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     log("devices:", jax.devices())
     configs = [
         ("n2k_w128_K256", 2000, 128, 256, 0.08, 3, 0.0),

@@ -18,6 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Persistent compilation cache (VERDICT round-3 next #7: the suite was
+# compile-bound — trainer-loop tests jit 3-6 step graphs each as densify
+# grows capacity/K; ~38 min contended, ~16 min alone). Cache keys include
+# backend + HLO hash, so CPU test graphs coexist with the TPU bench cache;
+# a warm suite run replays compiles from disk. The dir is gitignored.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+# Virtual-device CPU collectives are single-host timeshared: plenty of RAM,
+# so let two pytest-xdist workers overlap compiles (`pytest -n 2`).
 
 
 def pytest_configure(config):
