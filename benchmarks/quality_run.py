@@ -73,6 +73,14 @@ def main():
                     help="absolute population cap (reference run ended ~514k)")
     ap.add_argument("--densify-stat", default="grad2d",
                     choices=["grad2d", "grad3d"])
+    ap.add_argument("--grad2d-threshold", type=float, default=0.0002,
+                    help="official densify_grad_threshold. The official "
+                    "2e-4 is calibrated for photo-scale detail; a finer GT "
+                    "shrinks each gaussian's integrated screen gradient "
+                    "with its footprint, so scenes at point_scale_exp>0 "
+                    "need it scaled down accordingly (r4: the courtyard at "
+                    "gt-scale 5 saturated at ~55k alive with p99 pinned at "
+                    "2e-4)")
     ap.add_argument("--max-screen-size", type=float, default=20.0,
                     help="screen prune radius, px (0 disables). The official "
                     "20px is tuned for ~1.5MP photos; synthetic GT scenes "
@@ -138,6 +146,7 @@ def main():
         # round-3 densify control (adaptive/densify docstring): official-3DGS
         # 2-D statistic + stat reset + growth caps + screen prune
         densify_stat=args.densify_stat,
+        grad2d_threshold=args.grad2d_threshold,
         max_alive=args.max_alive,
         growth_limit=2.0,
         max_screen_size=args.max_screen_size or None,

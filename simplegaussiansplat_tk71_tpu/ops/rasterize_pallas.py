@@ -124,10 +124,13 @@ def _depth_block(K):
     flops grow with D^2 while the carry chain length shrinks with 1/D.
     Largest divisor of K that is <= 256 (any max_per_tile works — e.g. 384
     gets D=192; worst case a prime K runs blockless at D=K... but K is
-    always a multiple of 128 in practice)."""
-    if K <= 256:
+    always a multiple of 128 in practice). SGS_DEPTH_BLOCK overrides the
+    256 ceiling for A/B measurement (tri-scan MXU flops per element scale
+    with D; the carry chain + per-block overhead scale with K / D)."""
+    cap = int(__import__("os").environ.get("SGS_DEPTH_BLOCK", "256"))
+    if K <= cap:
         return K
-    for D in range(256, 0, -1):
+    for D in range(cap, 0, -1):
         if K % D == 0:
             return D
     return K

@@ -37,6 +37,7 @@ negative keys, so garbage rows are never read).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -119,8 +120,8 @@ def segment_sum_sorted(
     vals: jnp.ndarray,
     keys: jnp.ndarray,
     num_segments: int,
-    block: int = 256,
-    inner: int = 8,
+    block: int | None = None,
+    inner: int | None = None,
     raw: bool = False,
     cols_layout: bool = False,
 ) -> jnp.ndarray:
@@ -136,6 +137,14 @@ def segment_sum_sorted(
     (``cols_layout=True``): a (P, few) HBM buffer pads its C lanes to the
     128 tile (14x traffic at C=9), while (C, P) is dense.
     """
+    # the one-hot matmul cost scales with block (P * block * C_padded MACs
+    # total); the carry chain + per-block overhead scale with 1/block.
+    # Env-tunable for on-device A/B (SoL says this stage runs at ~1.3% of a
+    # read+write bound, so the flop term is not obviously the binding cost).
+    if block is None:
+        block = int(os.environ.get("SGS_SEGSUM_BLOCK", "256"))
+    if inner is None:
+        inner = max(2048 // block, 1)
     if cols_layout:
         C, P = vals.shape
     else:
