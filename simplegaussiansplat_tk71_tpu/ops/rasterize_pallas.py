@@ -464,8 +464,10 @@ def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
 # blocked backward (seg_len + dead-T bounds in the gradient kernels, round
 # 4). Default OFF until device_check validates it on the real chip —
 # interpret-mode tests cannot catch Mosaic/XLA lowering bugs (NOTES.md, the
-# denormal-flush lesson); benchmarks/device_check.py runs both settings.
-BWD_BLOCKED = __import__("os").environ.get("SGS_BWD_BLOCKED", "0") == "1"
+# denormal-flush lesson). Read at TRACE time so tests and device_check can
+# A/B both settings in one process (callers retrace per pallas_call).
+def _bwd_blocked():
+    return __import__("os").environ.get("SGS_BWD_BLOCKED", "0") == "1"
 
 
 def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
@@ -481,7 +483,7 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_re
         gimg = gimg_ref[t, :3, :]  # (3, P)
         gi = pid * tile_block + t
         px, py = _pixel_coords(tile_ids_ref[gi], ntx, ts, pixel_offset)
-        if BWD_BLOCKED:
+        if _bwd_blocked():
             grads = _tile_grads_blocked(
                 attrs, gimg, px, py, D, triu, seg_len_ref[gi]
             )
@@ -530,7 +532,7 @@ def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
         gimg = gimg_ref[i, :3, :]
         px, py = _pixel_coords(tile_ids_ref[t], ntx, ts, pixel_offset)
         lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
-        if BWD_BLOCKED:
+        if _bwd_blocked():
             grads = _tile_grads_blocked(
                 attrs_ref[i], gimg, px, py, D, triu, lk
             )
