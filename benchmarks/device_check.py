@@ -108,6 +108,14 @@ def main():
         # share the binning cull so the comparison stays exact
         ("n8k_w128_K512_cull", 8000, 128, 512, 0.08, 3, 1 / 255),
         ("n50k_w256_K1024_cull", 50000, 256, 1024, 0.03, 3, 1 / 255),
+        # round-4: the quality run's truncation adaptation doubles K to
+        # 2048/4096 on dense scenes — the full-K backward blew the 64M
+        # scoped-VMEM limit at K=4096 (73.9M of (K, P) temps); the blocked
+        # backward bounds VMEM by 2 (K, P) buffers + (D, P) block temps.
+        # Dense inits (small scale, many gaussians per tile) so the large-K
+        # slots are actually occupied.
+        ("n50k_w128_K2048_trunc", 50000, 128, 2048, 0.05, 3, 0.0),
+        ("n100k_w128_K4096_cull", 100000, 128, 4096, 0.04, 3, 1 / 255),
     ]
     # optional substring filters: `device_check.py K512 K256` runs the
     # matching subset (Mosaic compiles cost minutes each on a tunneled TPU;

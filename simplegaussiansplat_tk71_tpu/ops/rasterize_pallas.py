@@ -351,36 +351,51 @@ def _tile_grads(attrs, gimg, px, py, D, tril, triu):
     return grads * valid_k
 
 
-def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
+def _tile_grads_blocked(attrs_ref, at, gimg, px, py, D, triu, lk,
+                        tbuf, gbuf, gout, gt):
     """_tile_grads bounded by the tile's true list length + transmittance
     saturation (round-4: the full-K backward computed every padding slot —
     the forward has had both skips since round 2, the backward neither).
+    Also the only backward that fits scoped VMEM at large K: the full-K
+    kernel keeps ~12 (K, P) temporaries live (73.9M at K=4096 — blew the
+    64M limit in the r4 quality run when truncation adaptation doubled K);
+    this one keeps two (K, P) scratch buffers + (D, P) block temps.
 
     Pass A walks depth blocks front-to-back: per-block exclusive cumprod
     (Hillis-Steele within the block, multiplicative carry across blocks,
-    linear space — no log/exp) into a (K, P) transmittance buffer, stopping
-    at ceil(lk / D) blocks or once every pixel's carry underflows to exactly
-    0.0f (the same bit-exact dead-T bound as _forward_kernel). Pass B walks
-    the alive blocks back-to-front carrying the exclusive suffix sum (MXU
-    strict-upper tri-matmul per block, same association as _suffix_sum_mxu)
-    and writes each block's analytic gradients. Skipped blocks keep zero
-    gradients — identical to what the full-K math produces there (padding
-    slots have op == 0; saturated slots have t_excl == 0 AND zero suffix).
-    VPU work scales with the alive prefix instead of K (bench avg list
-    occupancy ~0.77, saturation cuts more on dense tiles)."""
-    K = attrs.shape[-1]
+    linear space — no log/exp) into the (K, P) ``tbuf``/``gbuf`` VMEM
+    scratch refs, stopping at ceil(lk / D) blocks or once every pixel's
+    carry underflows to exactly 0.0f (the same bit-exact dead-T bound as
+    _forward_kernel). Pass B walks the alive blocks back-to-front carrying
+    the exclusive suffix sum (MXU strict-upper tri-matmul per block, same
+    association as _suffix_sum_mxu) and stores each block's analytic
+    gradients into ``gout``. Skipped blocks keep zero gradients — identical
+    to what the full-K math produces there (padding slots have op == 0;
+    saturated slots have t_excl == 0 AND zero suffix). VPU work scales with
+    the alive prefix instead of K (bench avg list occupancy ~0.77,
+    saturation cuts more on dense tiles).
+
+    Mosaic has no value-space dynamic_slice/dynamic_update_slice (the first
+    device run of a value-carried draft of this kernel failed lowering);
+    all block addressing goes through refs with ``pl.ds``:
+      attrs_ref[at]: (A, K) attr rows for this tile (``at`` static)
+      tbuf/gbuf:     (K, P) VMEM scratch (stale past-block contents from a
+                     previous tile are never read: pass B only touches
+                     blocks < nb_eff of THIS tile)
+      gout[gt]:      (NUM_ATTR_ROWS, K) output ref (gt=None for a 2-D ref);
+                     zeroed up front, rows 0..8 hold the gradients
+    """
+    K = attrs_ref.shape[-1]
     P = px.shape[-1]
-    nb_max = K // D
     nb = pl.cdiv(jnp.minimum(jnp.maximum(lk, 0), K), D)
+    zero16 = jnp.zeros((NUM_ATTR_ROWS, K), jnp.float32)
+    if gt is None:
+        gout[...] = zero16
+    else:
+        gout[gt] = zero16
 
-    def a_cond(c):
-        b, _, _, tc = c
-        return jnp.logical_and(b < nb, jnp.max(tc) > 0.0)
-
-    def a_body(c):
-        b, t_buf, g_buf, tc = c
-        start = pl.multiple_of(b * D, D)
-        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
+    def _blk(start):
+        blk = attrs_ref[at, :, pl.ds(start, D)]  # (A, D)
         mux = blk[0, :][:, None]
         muy = blk[1, :][:, None]
         ca = blk[2, :][:, None]
@@ -391,17 +406,25 @@ def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
         dy = py - muy
         q = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
         g = _gauss_weight(q)
+        return blk, ca, cb, cc, op, dx, dy, g
+
+    def a_cond(c):
+        b, tc = c
+        return jnp.logical_and(b < nb, jnp.max(tc) > 0.0)
+
+    def a_body(c):
+        b, tc = c
+        start = pl.multiple_of(b * D, D)
+        _, _, _, _, op, _, _, g = _blk(start)
         anti = 1.0 - op * g
         excl = _exclusive_cumprod(anti) * tc  # (D, P) exclusive in-tile T
-        t_buf = jax.lax.dynamic_update_slice(t_buf, excl, (start, 0))
-        g_buf = jax.lax.dynamic_update_slice(g_buf, g, (start, 0))
+        tbuf[pl.ds(start, D), :] = excl
+        gbuf[pl.ds(start, D), :] = g
         tc = excl[D - 1:D, :] * anti[D - 1:D, :]
-        return b + 1, t_buf, g_buf, tc
+        return b + 1, tc
 
-    nb_eff, t_buf, g_buf, _ = jax.lax.while_loop(
-        a_cond, a_body,
-        (jnp.int32(0), jnp.zeros((K, P), jnp.float32),
-         jnp.zeros((K, P), jnp.float32), jnp.ones((1, P), jnp.float32)),
+    nb_eff, _ = jax.lax.while_loop(
+        a_cond, a_body, (jnp.int32(0), jnp.ones((1, P), jnp.float32))
     )
 
     def b_cond(c):
@@ -409,19 +432,11 @@ def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
         return b >= 0
 
     def b_body(c):
-        b, grads, carry = c
+        b, carry = c
         start = pl.multiple_of(b * D, D)
-        blk = jax.lax.dynamic_slice_in_dim(attrs, start, D, axis=1)
-        mux = blk[0, :][:, None]
-        muy = blk[1, :][:, None]
-        ca = blk[2, :][:, None]
-        cb = blk[3, :][:, None]
-        cc = blk[4, :][:, None]
-        op = blk[5, :][:, None]
-        dx = px - mux
-        dy = py - muy
-        g = jax.lax.dynamic_slice(g_buf, (start, 0), (D, P))
-        t_excl = jax.lax.dynamic_slice(t_buf, (start, 0), (D, P))
+        blk, ca, cb, cc, op, dx, dy, _ = _blk(start)
+        g = gbuf[pl.ds(start, D), :]
+        t_excl = tbuf[pl.ds(start, D), :]
         alpha = op * g
         ck = jax.lax.dot_general(
             blk[6:9, :], gimg, (((0,), (0,)), ((), ())),
@@ -450,15 +465,16 @@ def _tile_grads_blocked(attrs, gimg, px, py, D, triu, lk):
         gb = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
         gb = jnp.concatenate([gb, g_col], axis=0)  # (9, D)
         gb = gb * (blk[5, :] > 0.0).astype(jnp.float32)[None, :]
-        grads = jax.lax.dynamic_update_slice(grads, gb, (0, start))
-        return b - 1, grads, carry
+        gb16 = jnp.pad(gb, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+        if gt is None:
+            gout[:, pl.ds(start, D)] = gb16
+        else:
+            gout[gt, :, pl.ds(start, D)] = gb16
+        return b - 1, carry
 
-    _, grads, _ = jax.lax.while_loop(
-        b_cond, b_body,
-        (nb_eff - 1, jnp.zeros((9, K), jnp.float32),
-         jnp.zeros((1, P), jnp.float32)),
+    jax.lax.while_loop(
+        b_cond, b_body, (nb_eff - 1, jnp.zeros((1, P), jnp.float32))
     )
-    return grads
 
 
 # blocked backward (seg_len + dead-T bounds in the gradient kernels, round
@@ -470,31 +486,36 @@ def _bwd_blocked():
     return __import__("os").environ.get("SGS_BWD_BLOCKED", "0") == "1"
 
 
-def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref):
+def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, *scratch):
     # Single pass per tile over full (K, P) arrays. The phase-split MXU
     # variant measured SLOWER (39 vs 25 ms) despite fewer VPU ops — scratch
     # round-trips and dependent small matmuls stall; see BWD_IMPL above.
+    # With SGS_BWD_BLOCKED the call site passes two (K, P) VMEM scratch refs
+    # and the blocked path stores gradients straight into grad_ref[t].
     pid = pl.program_id(0)
     K = attrs_ref.shape[-1]
     D = _depth_block(K)
     tril, triu = _tri_cumsum_masks(D)
     for t in range(tile_block):
-        attrs = attrs_ref[t]  # (A, K)
         gimg = gimg_ref[t, :3, :]  # (3, P)
         gi = pid * tile_block + t
         px, py = _pixel_coords(tile_ids_ref[gi], ntx, ts, pixel_offset)
         if _bwd_blocked():
-            grads = _tile_grads_blocked(
-                attrs, gimg, px, py, D, triu, seg_len_ref[gi]
+            tbuf, gbuf = scratch
+            _tile_grads_blocked(
+                attrs_ref, t, gimg, px, py, D, triu, seg_len_ref[gi],
+                tbuf, gbuf, grad_ref, t,
             )
         else:
-            grads = _tile_grads(attrs, gimg, px, py, D, tril, triu)
-        grad_ref[t, :, :] = jnp.pad(grads, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
+            grads = _tile_grads(attrs_ref[t], gimg, px, py, D, tril, triu)
+            grad_ref[t, :, :] = jnp.pad(
+                grads, ((0, NUM_ATTR_ROWS - 9), (0, 0))
+            )
 
 
 def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
                            slot_start_ref, tile_ids_ref, attrs_ref, gimg_ref,
-                           out_ref, stage, pend, sem):
+                           out_ref, stage, pend, sem, *scratch):
     """Backward emitting gradients in COMPACT PAIR SPACE: (16, Pc) columns
     where tile t's in-table slots occupy [slot_start[t], slot_start[t+1])
     (slot_start = cumsum of min(seg_len, K)). Row 9 carries each slot's
@@ -533,9 +554,12 @@ def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
         px, py = _pixel_coords(tile_ids_ref[t], ntx, ts, pixel_offset)
         lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
         if _bwd_blocked():
-            grads = _tile_grads_blocked(
-                attrs_ref[i], gimg, px, py, D, triu, lk
+            tbuf, gbuf, gout = scratch
+            _tile_grads_blocked(
+                attrs_ref, i, gimg, px, py, D, triu, lk,
+                tbuf, gbuf, gout, None,
             )
+            grads = gout[...][:9, :]
         else:
             grads = _tile_grads(attrs_ref[i], gimg, px, py, D, tril, triu)
         # slot key rides as row 9 (bit-exact moves only)
@@ -879,6 +903,11 @@ def composite_tiles_pallas_bwd(
             (TB, NUM_ATTR_ROWS, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, NUM_ATTR_ROWS, K), jnp.float32),
+        # blocked path: (K, P) transmittance + gauss-weight scratch
+        # (_tile_grads_blocked stores gradients straight into the out block)
+        scratch_shapes=(
+            [pltpu.VMEM((K, P), jnp.float32)] * 2 if _bwd_blocked() else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -938,7 +967,17 @@ def composite_tiles_pallas_bwd_pairs(
             pltpu.VMEM((2, NUM_ATTR_ROWS, CAP), jnp.float32),  # dbl-buffered
             pltpu.VMEM((NUM_ATTR_ROWS, 128), jnp.float32),  # hand-off chunk
             pltpu.SemaphoreType.DMA,
-        ],
+        ] + (
+            # blocked path: (K, P) transmittance/gauss scratch + a
+            # (16, K) staging block for the per-tile gradients
+            [
+                pltpu.VMEM((K, P), jnp.float32),
+                pltpu.VMEM((K, P), jnp.float32),
+                pltpu.VMEM((NUM_ATTR_ROWS, K), jnp.float32),
+            ]
+            if _bwd_blocked()
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),

@@ -12,6 +12,21 @@ import os
 # and the suite silently contends for the (possibly busy) chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# The env vars above are read at jax IMPORT — but the container's
+# sitecustomize (/root/.axon_site) imports jax at interpreter start, long
+# before this conftest, so with PALLAS_AXON_POOL_IPS set at launch the axon
+# TPU plugin is already registered and the env edits alone do nothing. Any
+# test that then enumerates backends CLAIMS the tunneled TPU chip — and if
+# another process holds the claim, the whole suite silently sleeps (round-4:
+# a 45-min pytest run made 5 dots while a quality run trained). Forcing the
+# platform through jax.config works even after import, as long as no backend
+# has been initialized yet — which holds at conftest time.
+import sys
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
