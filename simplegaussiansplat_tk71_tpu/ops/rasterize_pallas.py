@@ -478,12 +478,19 @@ def _tile_grads_blocked(attrs_ref, at, gimg, px, py, D, triu, lk,
 
 
 # blocked backward (seg_len + dead-T bounds in the gradient kernels, round
-# 4). Default OFF until device_check validates it on the real chip —
-# interpret-mode tests cannot catch Mosaic/XLA lowering bugs (NOTES.md, the
-# denormal-flush lesson). Read at TRACE time so tests and device_check can
-# A/B both settings in one process (callers retrace per pallas_call).
-def _bwd_blocked():
-    return __import__("os").environ.get("SGS_BWD_BLOCKED", "0") == "1"
+# 4). Device-validated 9/9 device_check configs incl. K2048/K4096
+# (grad_worst_rel <= 4.7e-05, 2026-08-21). Unset = AUTO: on from K=2048 up,
+# where it is mandatory — the full-K backward keeps ~12 (K, P) temporaries
+# live and exceeds the 64M scoped-VMEM limit at K=4096 (73.9M; the r4
+# quality run crashed there when truncation adaptation doubled K).
+# SGS_BWD_BLOCKED=1/0 forces either path (bench A/Bs, device_check).
+# Read at TRACE time so one process can A/B both settings (callers retrace
+# per pallas_call).
+def _bwd_blocked(K: int):
+    v = __import__("os").environ.get("SGS_BWD_BLOCKED", "")
+    if v in ("0", "1"):
+        return v == "1"
+    return K >= 2048
 
 
 def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, *scratch):
@@ -500,7 +507,7 @@ def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_re
         gimg = gimg_ref[t, :3, :]  # (3, P)
         gi = pid * tile_block + t
         px, py = _pixel_coords(tile_ids_ref[gi], ntx, ts, pixel_offset)
-        if _bwd_blocked():
+        if _bwd_blocked(K):
             tbuf, gbuf = scratch
             _tile_grads_blocked(
                 attrs_ref, t, gimg, px, py, D, triu, seg_len_ref[gi],
@@ -553,7 +560,7 @@ def _backward_kernel_pairs(ntx, ts, pixel_offset, tile_block, CAP, nprog,
         gimg = gimg_ref[i, :3, :]
         px, py = _pixel_coords(tile_ids_ref[t], ntx, ts, pixel_offset)
         lk = slot_start_ref[t + 1] - slot_start_ref[t]  # min(seg_len, K)
-        if _bwd_blocked():
+        if _bwd_blocked(K):
             tbuf, gbuf, gout = scratch
             _tile_grads_blocked(
                 attrs_ref, i, gimg, px, py, D, triu, lk,
@@ -906,7 +913,7 @@ def composite_tiles_pallas_bwd(
         # blocked path: (K, P) transmittance + gauss-weight scratch
         # (_tile_grads_blocked stores gradients straight into the out block)
         scratch_shapes=(
-            [pltpu.VMEM((K, P), jnp.float32)] * 2 if _bwd_blocked() else []
+            [pltpu.VMEM((K, P), jnp.float32)] * 2 if _bwd_blocked(K) else []
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -975,7 +982,7 @@ def composite_tiles_pallas_bwd_pairs(
                 pltpu.VMEM((K, P), jnp.float32),
                 pltpu.VMEM((NUM_ATTR_ROWS, K), jnp.float32),
             ]
-            if _bwd_blocked()
+            if _bwd_blocked(K)
             else []
         ),
         compiler_params=pltpu.CompilerParams(
