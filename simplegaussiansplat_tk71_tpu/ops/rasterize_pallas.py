@@ -479,10 +479,15 @@ def _tile_grads_blocked(attrs_ref, at, gimg, px, py, D, triu, lk,
 
 # blocked backward (seg_len + dead-T bounds in the gradient kernels, round
 # 4). Device-validated 9/9 device_check configs incl. K2048/K4096
-# (grad_worst_rel <= 4.7e-05, 2026-08-21). Unset = AUTO: on from K=2048 up,
+# (grad_worst_rel <= 4.7e-05, 2026-08-21). Unset = AUTO: on from K=4096 up,
 # where it is mandatory — the full-K backward keeps ~12 (K, P) temporaries
 # live and exceeds the 64M scoped-VMEM limit at K=4096 (73.9M; the r4
-# quality run crashed there when truncation adaptation doubled K).
+# quality run crashed there when truncation adaptation doubled K). Below
+# that the full-K kernel fits (~37M at K=2048) and measured FASTER on
+# truncation-adapted scenes: adaptation keeps K near the max tile
+# occupancy, so seg_len ~ K on the busy tiles and the blocked pass
+# structure is overhead without savings (r4 quality run at K=2048, same
+# 77k-alive state: 0.039-0.043 s/it blocked vs 0.023-0.024 full-K).
 # SGS_BWD_BLOCKED=1/0 forces either path (bench A/Bs, device_check).
 # Read at TRACE time so one process can A/B both settings (callers retrace
 # per pallas_call).
@@ -490,7 +495,7 @@ def _bwd_blocked(K: int):
     v = __import__("os").environ.get("SGS_BWD_BLOCKED", "")
     if v in ("0", "1"):
         return v == "1"
-    return K >= 2048
+    return K >= 4096
 
 
 def _backward_kernel(ntx, ts, pixel_offset, tile_block, seg_len_ref, tile_ids_ref, attrs_ref, gimg_ref, grad_ref, *scratch):
