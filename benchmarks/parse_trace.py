@@ -7,6 +7,13 @@ complete events on the TensorCore op track by event name, divide by the
 number of profiled steps, and print the top ops + a stage-bucketed summary
 aligned with benchmarks/sol_model.py's stage names.
 
+Classification (r4): XLA names its pallas calls ``closed_call.N`` with no
+kernel hint, so events are classified by their trace args — the ``source``
+(file:line of the python call site) and the ``long_name`` output shape.
+Step-region events (named "0", "1", ...) and conditional ENVELOPES (the
+grad-routing cond contains its sort + segsum as separate leaf events) are
+excluded from bucket sums and reported separately.
+
   python benchmarks/profile_trace.py          # captures /tmp/jaxtrace
   python benchmarks/parse_trace.py /tmp/jaxtrace --steps 3 --json out.json
 """
@@ -20,19 +27,39 @@ import sys
 from collections import defaultdict
 
 
-# stage buckets: pattern -> stage (first match wins; patterns target XLA
-# fusion/custom-call names observed in the r2/r4 traces)
-STAGE_PATTERNS = [
-    (r"sort", "sorts"),
-    (r"composite.*bwd|bwd.*composite|_backward_kernel", "composite_bwd"),
-    (r"composite|_forward_kernel", "composite_fwd"),
-    (r"expand_spans|expand_rows|one_hot|onehot", "expand"),
-    (r"segsum|segment_sum", "segsum"),
-    (r"pair_table|window_table", "pair_table"),
-    (r"while", "searchsorted_while"),
-    (r"copy|pad|transpose|bitcast|concatenate|slice", "copies_pads"),
-    (r"dot|conv", "matmuls_misc"),
-]
+def classify(name, args_d):
+    src = args_d.get("source", "")
+    long = args_d.get("long_name", "")
+    cat = args_d.get("hlo_category", "")
+    if re.fullmatch(r"\d+", name):
+        return "STEP_REGION"
+    if cat == "conditional" or name.startswith(("cond", "branch")):
+        return "ENVELOPE"  # contains leaf events already counted
+    if "binning.py" in src and cat == "sort":
+        return "binning sort"
+    if cat == "sort":
+        return "grad-routing sort"
+    if "expand.py" in src:
+        return "binning expand"
+    if "rasterize_pallas" in src and cat == "custom-call":
+        if re.search(r"= f32\[16,\d{6,}\]", long):
+            return "composite bwd"  # compact pair-space grads (16, Pc)
+        if re.search(r"= f32\[\d+,8,\d+\]", long):
+            return "composite fwd"  # (T, 8, P) tile images
+        if re.search(r"= f32\[\d+,16,\d+\]", long):
+            return "pair table"  # (T, 16, K) gathered attrs
+        if re.search(r"= f32\[9,\d+\]", long):
+            return "grad segment sum"  # (9, N) per-gaussian grads
+        return "pallas other"
+    if "segsum" in src:
+        return "grad segment sum"
+    if re.search(r"^(copy|pad|transpose|bitcast|concatenate|slice)", name):
+        return "copies/pads"
+    if name.startswith("while"):
+        return "searchsorted/while"
+    if re.search(r"sort", name):
+        return "sorts other"
+    return "other"
 
 
 def main():
@@ -51,10 +78,6 @@ def main():
         trace = json.load(f)
     events = trace["traceEvents"]
 
-    # device op tracks: process names containing TPU/TensorCore; XLA op
-    # events are 'X' (complete) with dur. Keep per-(pid,tid) sums and pick
-    # the track family that looks like device ops (largest total on a
-    # TensorCore pid).
     pid_name = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
@@ -64,43 +87,47 @@ def main():
         if re.search(r"TPU|TensorCore|/device:", name, re.I)
     }
     by_name = defaultdict(float)
-    total = 0.0
+    name_args = {}
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if dev_pids and e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
-        # tensorboard emits nested tracks; keep leaf op names only (skip
-        # step/module envelopes)
         if re.match(r"jit_|pjit|XLA Modules|Steps", name):
             continue
         by_name[name] += e["dur"]  # us
-        total += e["dur"]
+        if "args" in e and name not in name_args:
+            name_args[name] = e["args"]
 
     per_step = {k: v / args.steps / 1000.0 for k, v in by_name.items()}  # ms
     ranked = sorted(per_step.items(), key=lambda kv: -kv[1])
-    print(f"track pids: {sorted(dev_pids) or 'ALL'}; "
-          f"total {total / args.steps / 1000.0:.1f} ms/step over "
-          f"{len(by_name)} op names")
     stages = defaultdict(float)
+    extras = defaultdict(float)
     for name, ms in ranked:
-        stage = "other"
-        for pat, st in STAGE_PATTERNS:
-            if re.search(pat, name, re.I):
-                stage = st
-                break
-        stages[stage] += ms
-    print("\n-- stage buckets (ms/step) --")
+        st = classify(name, name_args.get(name, {}))
+        (extras if st in ("STEP_REGION", "ENVELOPE") else stages)[st] += ms
+    step_ms = extras.get("STEP_REGION", 0.0) * args.steps / max(
+        len([n for n in by_name if re.fullmatch(r"\d+", n)]), 1
+    )
+    counted = sum(stages.values())
+    print(f"track pids: {sorted(dev_pids) or 'ALL'}; step span "
+          f"{step_ms:.1f} ms; leaf ops sum {counted:.1f} ms/step "
+          f"({len(by_name)} op names)")
+    print("\n-- stage buckets (ms/step; envelopes excluded) --")
     for st, ms in sorted(stages.items(), key=lambda kv: -kv[1]):
-        print(f"  {st:20s} {ms:8.2f}")
+        print(f"  {st:22s} {ms:8.2f}")
+    for st, ms in sorted(extras.items()):
+        print(f"  [{st}] {ms:8.2f} (not in sum)")
     print(f"\n-- top {args.top} ops (ms/step) --")
     for name, ms in ranked[: args.top]:
-        print(f"  {ms:8.3f}  {name[:110]}")
+        st = classify(name, name_args.get(name, {}))
+        print(f"  {ms:8.3f}  {st:20s} {name[:80]}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(
-                {"per_step_ms": dict(ranked), "stages": dict(stages)},
+                {"per_step_ms": dict(ranked), "stages": dict(stages),
+                 "step_span_ms": step_ms},
                 f, indent=1,
             )
         print(f"\nwrote {args.json}")

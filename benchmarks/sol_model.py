@@ -2,8 +2,8 @@
 
 For every pipeline stage at the headline bench config (1M gaussians, 800x800,
 K=1024, ~2.2M surviving pairs) this prints: measured per-step device time
-(from the round-2 device trace, NOTES.md "Device-trace breakdown" +
-"Stage breakdown after the MXU-scan rewrite"), modeled HBM bytes moved,
+(from the round-4 device trace, 2026-08-21: benchmarks/profile_trace.py ->
+parse_trace.py, docs/artifacts/trace_r4.json; 108.5 ms step span), modeled HBM bytes moved,
 modeled MXU flops, the bound that dominates, the speed-of-light time on a
 v5e chip, and % of SoL achieved.
 
@@ -72,7 +72,7 @@ def stage_rows():
     # Binning pair expansion (expand_spans 17-col one-hot MXU windows):
     # one read of the N-row rect table + one write of the PAIRS x 17 stream.
     add(
-        "binning expand", 4.7,
+        "binning expand", 6.2,
         (N * 6 + PAIRS * 17) * f4, PAIRS * 17 * 2 * 128,
         "one-hot matmul windows; flops = 128-wide one-hot MACs",
     )
@@ -80,7 +80,7 @@ def stage_rows():
     # Binning sort: 1 packed key + 11 payload cols over PAIRS rows.
     # SoL model = LSD radix, 4 passes of 8 bits, read+write per pass.
     add(
-        "binning sort (2-key packed, 11 payloads)", 18.0,
+        "binning sort (2-key packed, 11 payloads)", 19.3,
         4 * 2 * PAIRS * 12 * f4, 0,
         "XLA lax.sort runs ~21 comparator passes at ~5 GB/s effective; "
         "SoL modeled as a 4-pass radix partition",
@@ -94,7 +94,7 @@ def stage_rows():
     seg = PAIRS / T  # ~880 at bench scale
     tri = 3 * 2 * D * D * PTILE * (seg // D + 1) * T
     add(
-        "composite fwd", 10.0,
+        "composite fwd", 16.4,
         (PAIRS * 10 + T * 8 * PTILE) * f4, tri,
         "MXU = log-space tri-matmul scans (bf16x3); VPU = Gauss-kernel "
         "eval, ~25 flop per (slot, pixel)",
@@ -105,7 +105,7 @@ def stage_rows():
     # transpose trick) + writes (T, 16, K) slot grads; ~40 VPU flop per
     # (slot, pixel) across the five gradient formulas.
     add(
-        "composite bwd", 22.2,
+        "composite bwd", 22.4,
         (PAIRS * 10 + T * PTILE * 3 + T * 16 * K) * f4,
         2 * tri,
         "2x scans (cumprod replay + suffix cumsum); VPU-heavy grads",
@@ -114,7 +114,7 @@ def stage_rows():
 
     # Grad routing: sort the (PAIRS, 10) grad stream by carried segment key...
     add(
-        "grad-routing sort", 24.5,
+        "grad-routing sort (incl. cond glue)", 23.8,
         4 * 2 * PAIRS * 10 * f4, 0,
         "same radix SoL model as the binning sort",
     )
@@ -122,16 +122,26 @@ def stage_rows():
     # Segment sum pair->gaussian (MXU one-hot windows): read PAIRS x 9, write
     # N x 9.
     add(
-        "grad segment sum", 10.9,
+        "grad segment sum (seg->gauss expand)", 1.2,
         (PAIRS * 9 + N * 9) * f4, PAIRS * 9 * 2 * 128,
         "ops/segsum one-hot MXU blocks + manual DMA output windows",
     )
 
-    # Adam + stats + loss (SSIM conv) + host glue.
+    # Adam + stats + loss (SSIM conv) + host glue: the trace's "other"
+    # bucket (12.57 ms) minus the separately-rowed projection (2.2).
     add(
-        "optimizer+stats+loss tail", 5.0,
+        "optimizer+stats+loss tail", 10.4,
         (N * 14 * 3 * 2) * f4 + PIX * 3 * 20 * f4, PIX * 3 * 120,
         "Adam reads/writes mu/nu/param per col; SSIM separable conv",
+    )
+
+    # Copies/pads/layout glue + the searchsorted while loops (binning owner
+    # lookup) — measured directly in the r4 trace buckets.
+    add(
+        "copies/pads + searchsorted",
+        9.2,
+        2 * PAIRS * 11 * f4, 0,
+        "XLA-inserted copies/pads between ops; while-loop owner lookups",
     )
 
     return rows
