@@ -61,6 +61,17 @@ def main():
                     help="shrink GT point size as count grows (0.5 = finer "
                     "texture at constant coverage; see data/synthetic.py)")
     ap.add_argument("--oracle-window-sigma", type=float, default=7.0)
+    ap.add_argument("--oracle-support", default="sigma",
+                    choices=["sigma", "prod"],
+                    help="'sigma' = window_sigma elliptical windows (exact "
+                    "continuous math); 'prod' = the production rasterizer's "
+                    "support definition (3-sigma capped boxes at tile "
+                    "granularity) with f64 exact compositing. Synthetic GT "
+                    "on a wider support than the model family rasterizes "
+                    "contains stacked far-tail mass no rect rasterizer can "
+                    "fit: the r4 7-sigma courtyard GT had views (camera "
+                    "inside the gaussian cloud) where production-vs-oracle "
+                    "on the GT ITSELF was 10 dB — an unfittable target")
     ap.add_argument("--gt-only", action="store_true",
                     help="render + cache the GT images, then exit — lets the "
                     "CPU-bound oracle render run as a separate JAX_PLATFORMS="
@@ -177,6 +188,8 @@ def main():
         f"gt={args.gt} cams={args.cams} wh={args.width}x{args.height} "
         f"scale={args.gt_scale} pexp={args.point_scale_exp} "
         f"smoke={args.smoke} wsig={args.oracle_window_sigma}"
+        + (f" support={args.oracle_support}"
+           if args.oracle_support != "sigma" else "")
     )
     gt_cache = f"{args.out}/gt_images.npz"
     bias_psnr = None
@@ -218,6 +231,8 @@ def main():
                 model_np, cap.P[i].astype(np.float64),
                 cap.K[i].astype(np.float64), args.width, args.height,
                 window_sigma=args.oracle_window_sigma,
+                support=args.oracle_support,
+                bbox_max_frac=cfg.bbox_max_frac, tile_size=cfg.tile_size,
             )
             if i % 10 == 0:
                 log(f"  oracle GT view {i}/{args.cams} "
@@ -435,9 +450,13 @@ def main():
         "cams": args.cams,
         "image": [args.width, args.height],
         "gt_source": (
-            "float64 windowed NumPy oracle (tests/oracle.py render_oracle, "
-            f"window_sigma={args.oracle_window_sigma}) — independent of the "
-            "production renderer" if args.gt == "oracle"
+            ("float64 NumPy oracle (tests/oracle.py render_oracle, "
+             + (f"production-support mode: 3-sigma capped boxes at tile "
+                f"granularity, f64 exact compositing"
+                if args.oracle_support == "prod"
+                else f"window_sigma={args.oracle_window_sigma}")
+             + ") — compositing independent of the production renderer")
+            if args.gt == "oracle"
             else "production renderer (self-referential)"
         ),
         "renderer_bias_psnr_prod_vs_oracle": bias_psnr,

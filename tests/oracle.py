@@ -270,9 +270,99 @@ def composite_oracle_windowed(
     return img
 
 
+def composite_oracle_tilesupport(
+    mean2d, conic, color, opacity, depth, W, H, bw, bh,
+    tile_size=16, pixel_offset=0.5, z_valid=None,
+):
+    """Float64 composite over the PRODUCTION rasterizer's support.
+
+    Same spec math as composite_oracle_vec, but each gaussian is evaluated
+    exactly on the pixels the production binning assigns it: the tiles
+    ``floor((mu - b)/ts) .. floor((mu + b)/ts)`` (clipped to the ceil tile
+    grid; ops/binning.py:133-136) of its 3-sigma axis-aligned box ``(bw,
+    bh)`` (capped, ops/projection.py:234-237), with the FULL Gaussian value
+    inside those tiles (no radial cutoff — the production kernels evaluate
+    exp everywhere in the tile). Support is part of the 3DGS model family's
+    semantics (official 3DGS rasterizes ceil(3 sigma) rects at tile
+    granularity; the reference expands 3-sigma boxes, gs_model.py:332):
+    synthetic ground truth rendered on a much wider support (e.g. 7-sigma
+    windows) contains stacked far-tail mass that NO rect-based rasterizer
+    reproduces — at degenerate views (camera inside a gaussian cloud) the
+    r4 courtyard GT's 0.01<z<4 cohort summed to an opaque veil that capped
+    fit PSNR at ~10 dB. The compositing itself stays float64 and
+    independent of the production code.
+
+    Culling matches ops/projection.py:256-264: callers pass ``z_valid`` =
+    (z > 0) & box-intersects-screen & (bw > 0).
+    """
+    mean2d = np.asarray(mean2d, np.float64)
+    conic = np.asarray(conic, np.float64)
+    color = np.asarray(color, np.float64)
+    opacity = np.asarray(opacity, np.float64)
+    depth = np.asarray(depth, np.float64)
+    bw = np.asarray(bw, np.float64)
+    bh = np.asarray(bh, np.float64)
+    if z_valid is not None:
+        keep = np.asarray(z_valid, bool)
+        mean2d, conic, color = mean2d[keep], conic[keep], color[keep]
+        opacity, depth = opacity[keep], depth[keep]
+        bw, bh = bw[keep], bh[keep]
+    order = np.argsort(depth, kind="stable")
+    mean2d, conic, color, opacity, bw, bh = (
+        mean2d[order], conic[order], color[order], opacity[order],
+        bw[order], bh[order],
+    )
+    ts = tile_size
+    ntx, nty = -(-W // ts), -(-H // ts)
+    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
+    tx0 = np.clip(np.floor((mean2d[:, 0] - bw) / ts), 0, ntx - 1)
+    tx1 = np.clip(np.floor((mean2d[:, 0] + bw) / ts), 0, ntx - 1)
+    ty0 = np.clip(np.floor((mean2d[:, 1] - bh) / ts), 0, nty - 1)
+    ty1 = np.clip(np.floor((mean2d[:, 1] + bh) / ts), 0, nty - 1)
+
+    img = np.zeros((H, W, 3))
+    for tyi in range(nty):
+        for txi in range(ntx):
+            sel = (tx0 <= txi) & (txi <= tx1) & (ty0 <= tyi) & (tyi <= ty1)
+            if not sel.any():
+                continue
+            bx, by = txi * ts, tyi * ts
+            pw = min(ts, W - bx)
+            ph = min(ts, H - by)
+            px = bx + pixel_offset + np.arange(pw)
+            py = by + pixel_offset + np.arange(ph)
+            idx = np.nonzero(sel)[0]  # ascending = depth order preserved
+            xs, ys = np.meshgrid(px, py)
+            xs, ys = xs.ravel()[None, :], ys.ravel()[None, :]
+            dx = xs - mean2d[idx, 0:1]  # (M, P)
+            dy = ys - mean2d[idx, 1:2]
+            q = (
+                a[idx, None] * dx * dx + 2 * b[idx, None] * dx * dy
+                + c[idx, None] * dy * dy
+            )
+            gk = np.where(q >= 0.0, np.exp(-0.5 * np.maximum(q, 0.0)), 0.0)
+            alpha = opacity[idx, None] * gk
+            T = np.cumprod(1.0 - alpha, axis=0)
+            T_excl = np.concatenate(
+                [np.ones((1, alpha.shape[1])), T[:-1]], axis=0
+            )
+            w = T_excl * alpha
+            img[by : by + ph, bx : bx + pw] = (w.T @ color[idx]).reshape(
+                ph, pw, 3
+            )
+    return img
+
+
 def render_oracle(model_np, P, K, W, H, sh_degree=2, window_sigma=None,
-                  block=16):
+                  block=16, support="sigma", bbox_max_frac=0.4,
+                  tile_size=16):
     """Full-frame float64 oracle render of a GaussianModel's alive rows.
+
+    support="sigma" (default): window_sigma elliptical windows / dense —
+    the exact continuous-math composite. support="prod": the production
+    rasterizer's support definition (3-sigma capped boxes at tile
+    granularity, composite_oracle_tilesupport) with f64 exact compositing —
+    use for synthetic GT that the 3DGS model family can actually fit.
 
     model_np: dict of numpy arrays {mean (N,3), quat (N,4), log_scale (N,3),
     opacity (N,), sh (N, B, 3)} — row-major natural units (opacity already
@@ -291,6 +381,24 @@ def render_oracle(model_np, P, K, W, H, sh_degree=2, window_sigma=None,
     cam = pr["mean_cam"]
     d = -cam / np.maximum(np.linalg.norm(cam, axis=1, keepdims=True), 1e-12)
     color = sh_oracle(model_np["sh"], d, sh_degree)
+    if support == "prod":
+        # production-support oracle (composite_oracle_tilesupport): 3-sigma
+        # capped boxes -> tile spans, the culling of ops/projection.py:256,
+        # f64 exact compositing inside
+        s2 = pr["sigma2d"]
+        cap = bbox_max_frac * np.sqrt(float(W * H))
+        bw = np.minimum(3.0 * np.sqrt(np.abs(s2[:, 0, 0])), cap)
+        bh = np.minimum(3.0 * np.sqrt(np.abs(s2[:, 1, 1])), cap)
+        px, py = pr["mean2d"][:, 0], pr["mean2d"][:, 1]
+        z = pr["depth"]
+        valid = (
+            (z > 0) & (px - bw < W) & (px + bw > 0)
+            & (py - bh < H) & (py + bh > 0) & (bw > 0)
+        )
+        return composite_oracle_tilesupport(
+            pr["mean2d"], pr["conic"], color, model_np["opacity"],
+            z, W, H, bw, bh, tile_size=tile_size, z_valid=valid,
+        )
     if window_sigma is not None:
         return composite_oracle_windowed(
             pr["mean2d"], pr["conic"], color, model_np["opacity"],
