@@ -96,6 +96,12 @@ def main():
                     help="screen prune radius, px (0 disables). The official "
                     "20px is tuned for ~1.5MP photos; synthetic GT scenes "
                     "legitimately contain larger gaussians")
+    ap.add_argument("--densify-until", type=int, default=15_000,
+                    help="densify_until_iter (reference: 15000, "
+                    "gs_control.py:30). Lowering it freezes the population "
+                    "early — useful once the densify statistic has "
+                    "converged (selection ~0/event) and each event's host "
+                    "repack round-trip is pure overhead")
     ap.add_argument("--max-hours", type=float, default=0.0,
                     help="wall-clock budget; >0 = checkpoint and exit "
                     "cleanly when exceeded (resume with --resume)")
@@ -156,6 +162,7 @@ def main():
         checkpoint_every=2000,
         # round-3 densify control (adaptive/densify docstring): official-3DGS
         # 2-D statistic + stat reset + growth caps + screen prune
+        densify_until_iter=args.densify_until,
         densify_stat=args.densify_stat,
         grad2d_threshold=args.grad2d_threshold,
         max_alive=args.max_alive,
