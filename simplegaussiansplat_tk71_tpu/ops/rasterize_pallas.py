@@ -836,7 +836,10 @@ def composite_tiles_pallas(
         # the unrolled tile/depth-block loops keep many (D, P) temporaries
         # live on the Mosaic stack — beyond the 16 MB default scoped limit
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            # 64M covers K <= 8192; the blocked backward's two (K, P)
+            # scratch buffers + staging push K=16384 to ~66M (measured
+            # compile failure at 65.88M) — v5e VMEM is 128M physical
+            vmem_limit_bytes=(100 if K >= 16384 else 64) * 1024 * 1024
         ),
     )(seg_len_p, _tile_ids_or_arange(tile_ids, T, T_pad), attrs)
     return out[:T]
@@ -921,7 +924,10 @@ def composite_tiles_pallas_bwd(
             [pltpu.VMEM((K, P), jnp.float32)] * 2 if _bwd_blocked(K) else []
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            # 64M covers K <= 8192; the blocked backward's two (K, P)
+            # scratch buffers + staging push K=16384 to ~66M (measured
+            # compile failure at 65.88M) — v5e VMEM is 128M physical
+            vmem_limit_bytes=(100 if K >= 16384 else 64) * 1024 * 1024
         ),
     )(seg_len_p, _tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:T]
@@ -991,7 +997,10 @@ def composite_tiles_pallas_bwd_pairs(
             else []
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            # 64M covers K <= 8192; the blocked backward's two (K, P)
+            # scratch buffers + staging push K=16384 to ~66M (measured
+            # compile failure at 65.88M) — v5e VMEM is 128M physical
+            vmem_limit_bytes=(100 if K >= 16384 else 64) * 1024 * 1024
         ),
     )(slot_start, _tile_ids_or_arange(tile_ids, T, T_pad), attrs, g_tiles)
     return out[:, :pc]
