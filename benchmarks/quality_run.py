@@ -287,6 +287,11 @@ def main():
         image_names=[f"cam{i}" for i in train_idx],
     )
     ds = SceneDataset(scene, images=images[train_idx])
+    if on_tpu:
+        # device-resident dataset: per-step batches become on-device
+        # gathers instead of ~3.8 MB host->device uploads over the tunnel
+        # (which dominated wall clock: device step ~0.03 s, wall ~0.38 s)
+        ds.device_cache()
 
     model = init_from_points(
         cap.sfm_xyz, knn_mean_dist(cap.sfm_xyz, cfg.knn_points),

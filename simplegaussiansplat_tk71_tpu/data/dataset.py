@@ -57,7 +57,32 @@ class SceneDataset:
     def __len__(self):
         return len(self.scene.P)
 
+    def device_cache(self):
+        """Stage the full image/P/K stacks in device memory once.
+
+        ``batches`` then yields on-device GATHERS by batch index instead of
+        uploading fresh host arrays every step — on the tunneled TPU each
+        step's 3-camera image batch is ~3.8 MB of host->device transfer
+        (~0.3 s at tunnel bandwidth), which dominated the r4 quality run's
+        wall clock (device step ~0.03 s, wall ~0.38 s/step). The reference
+        has the same per-step host->device copy (gs_control.py:174-178);
+        a 100-camera 400x266 stack is ~120 MB of HBM, trivially resident.
+        No-op for lazy-disk or mixed-size datasets. Returns self."""
+        if isinstance(self._images, np.ndarray) and not self.mixed_sizes:
+            import jax.numpy as jnp
+
+            self._images_dev = jnp.asarray(self._images)
+            self._P_dev = jnp.asarray(np.asarray(self.scene.P))
+            self._K_dev = jnp.asarray(np.asarray(self.scene.K))
+        return self
+
+    _images_dev = None
+    _P_dev = None
+    _K_dev = None
+
     def get_images(self, idx) -> np.ndarray:
+        if self._images_dev is not None:
+            return self._images_dev[np.asarray(idx)]
         if isinstance(self._images, np.ndarray):
             return self._images[idx]
         W, H = self.img_wh
@@ -94,5 +119,10 @@ class SceneDataset:
                 if len(idx) < batch_size:
                     # static shapes: wrap around instead of a ragged last batch
                     idx = np.concatenate([idx, order[: batch_size - len(idx)]])
-                yield self.scene.P[idx], self.scene.K[idx], self.get_images(idx), idx
+                if self._P_dev is not None:
+                    yield (self._P_dev[idx], self._K_dev[idx],
+                           self.get_images(idx), idx)
+                else:
+                    yield (self.scene.P[idx], self.scene.K[idx],
+                           self.get_images(idx), idx)
             epoch += 1
