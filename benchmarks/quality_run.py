@@ -92,6 +92,15 @@ def main():
                     "need it scaled down accordingly (r4: the courtyard at "
                     "gt-scale 5 saturated at ~55k alive with p99 pinned at "
                     "2e-4)")
+    ap.add_argument("--grad2d-threshold-schedule", default="",
+                    help="comma-separated step:value pairs applied live "
+                    "before the step is taken (e.g. '1800:5e-5'). The r4 "
+                    "definitive run discovered mid-flight that the fine-GT "
+                    "scene needs 5e-5 from step 1800; this flag replays that "
+                    "calibration in ONE continuous process instead of a "
+                    "stop/resume pair. Reads take effect at the next densify "
+                    "event (trainer reads cfg.grad2d_threshold at event "
+                    "time)")
     ap.add_argument("--max-screen-size", type=float, default=20.0,
                     help="screen prune radius, px (0 disables). The official "
                     "20px is tuned for ~1.5MP photos; synthetic GT scenes "
@@ -396,8 +405,20 @@ def main():
             f"({(time.time() - t_train) / 60:.1f} min)")
         buf = []
 
+    thr_sched = []
+    if args.grad2d_threshold_schedule:
+        thr_sched = sorted(
+            (int(s), float(v))
+            for s, v in (p.split(":") for p in
+                         args.grad2d_threshold_schedule.split(","))
+        )
+
     t_step = time.time()
     for P, K, imgs, idx in ds.batches(cfg.batch_size, seed=cfg.seed):
+        while thr_sched and trainer.step + 1 >= thr_sched[0][0]:
+            s, v = thr_sched.pop(0)
+            trainer.config.grad2d_threshold = v
+            log(f"[schedule] grad2d_threshold -> {v} before step {s}")
         step_before_cap = trainer.model.capacity
         m = trainer.run_step(P, K, imgs)
         dt = round(time.time() - t_step, 4)
