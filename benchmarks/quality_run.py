@@ -111,6 +111,17 @@ def main():
                     "early — useful once the densify statistic has "
                     "converged (selection ~0/event) and each event's host "
                     "repack round-trip is pure overhead")
+    ap.add_argument("--opacity-reset-until", type=int, default=0,
+                    help="0 = reference parity: reset opacity every 3000 "
+                    "steps for the WHOLE run (gs_control.py:206-207 applies "
+                    "it outside the densify gate — including at the final "
+                    "step, which official 3DGS does not: its reset lives "
+                    "inside the densify block and stops at "
+                    "densify_until_iter). >0 = official-3DGS gating: no "
+                    "resets after this step. Post-densify resets are pure "
+                    "damage — densify can no longer prune the deadweight "
+                    "the reset creates, and a reset landing on the last "
+                    "step wipes the final eval")
     ap.add_argument("--max-hours", type=float, default=0.0,
                     help="wall-clock budget; >0 = checkpoint and exit "
                     "cleanly when exceeded (resume with --resume)")
@@ -419,6 +430,14 @@ def main():
             s, v = thr_sched.pop(0)
             trainer.config.grad2d_threshold = v
             log(f"[schedule] grad2d_threshold -> {v} before step {s}")
+        if (
+            args.opacity_reset_until
+            and trainer.step + 1 > args.opacity_reset_until
+            and trainer.config.opacity_reset_interval
+        ):
+            trainer.config.opacity_reset_interval = 0
+            log(f"[schedule] opacity resets off past step "
+                f"{args.opacity_reset_until} (official-3DGS gating)")
         step_before_cap = trainer.model.capacity
         m = trainer.run_step(P, K, imgs)
         dt = round(time.time() - t_step, 4)
