@@ -117,11 +117,19 @@ def main():
                     "it outside the densify gate — including at the final "
                     "step, which official 3DGS does not: its reset lives "
                     "inside the densify block and stops at "
-                    "densify_until_iter). >0 = official-3DGS gating: no "
-                    "resets after this step. Post-densify resets are pure "
-                    "damage — densify can no longer prune the deadweight "
-                    "the reset creates, and a reset landing on the last "
-                    "step wipes the final eval")
+                    "densify_until_iter). >0 = official-3DGS gating: resets "
+                    "only while step < this value (maps to "
+                    "TrainConfig.opacity_reset_until). Post-densify resets "
+                    "are pure damage — densify can no longer prune the "
+                    "deadweight the reset creates, and a reset landing on "
+                    "the last step wipes the final eval")
+    ap.add_argument("--adapt-trunc-per-step", type=float, default=1000.0,
+                    help="dropped-fragments/step during the densify phase "
+                    "that triggers max_per_tile doubling (TrainConfig."
+                    "adapt_trunc_per_step). 0 = any truncation triggers — "
+                    "the zero-truncation invariant through the densify "
+                    "phase, at the cost of a recompile per doubling "
+                    "(VERDICT r4 next #4)")
     ap.add_argument("--max-hours", type=float, default=0.0,
                     help="wall-clock budget; >0 = checkpoint and exit "
                     "cleanly when exceeded (resume with --resume)")
@@ -192,6 +200,8 @@ def main():
         reset_stats_after_densify=True,
         adapt_max_per_tile=True,
         max_per_tile_limit=args.max_per_tile_limit,
+        adapt_trunc_per_step=args.adapt_trunc_per_step,
+        opacity_reset_until=args.opacity_reset_until,
         adapt_max_pairs=True,
         max_pairs_limit=args.max_pairs_limit,
     )
@@ -418,11 +428,16 @@ def main():
 
     thr_sched = []
     if args.grad2d_threshold_schedule:
-        thr_sched = sorted(
-            (int(s), float(v))
-            for s, v in (p.split(":") for p in
-                         args.grad2d_threshold_schedule.split(","))
-        )
+        for part in args.grad2d_threshold_schedule.split(","):
+            try:
+                s, v = part.split(":")
+                thr_sched.append((int(s), float(v)))
+            except ValueError:
+                ap.error(
+                    f"--grad2d-threshold-schedule: malformed segment "
+                    f"{part!r} (expected STEP:VALUE, e.g. '1800:5e-5')"
+                )
+        thr_sched.sort()
 
     t_step = time.time()
     for P, K, imgs, idx in ds.batches(cfg.batch_size, seed=cfg.seed):
@@ -430,14 +445,6 @@ def main():
             s, v = thr_sched.pop(0)
             trainer.config.grad2d_threshold = v
             log(f"[schedule] grad2d_threshold -> {v} before step {s}")
-        if (
-            args.opacity_reset_until
-            and trainer.step + 1 > args.opacity_reset_until
-            and trainer.config.opacity_reset_interval
-        ):
-            trainer.config.opacity_reset_interval = 0
-            log(f"[schedule] opacity resets off past step "
-                f"{args.opacity_reset_until} (official-3DGS gating)")
         step_before_cap = trainer.model.capacity
         m = trainer.run_step(P, K, imgs)
         dt = round(time.time() - t_step, 4)
@@ -497,6 +504,32 @@ def main():
     # reference-format export (gs_control.py:226-231) of the final model
     save_reference_pt(f"{args.out}/reference_pt", trainer.model)
 
+    # renderer-bias re-measure at the FINAL adapted render config (VERDICT r4
+    # weak #4: the start-of-run bias was taken at the pre-adaptation K on the
+    # GT model — i.e. under heavy truncation — and read 23.9 dB, which is a
+    # statement about that K, not about renderer agreement. Both numbers are
+    # stored: *_start (pre-adaptation) and *_final (adapted K / max_pairs).
+    bias_psnr_final = None
+    if args.gt == "oracle":
+        final_bias_cfg = gt_cfg._replace(
+            max_per_tile=trainer.render_cfg.max_per_tile,
+            max_pairs=trainer.render_cfg.max_pairs,
+        )
+        from simplegaussiansplat_tk71_tpu.render import render as _render
+
+        prod_imgs, _ = _render(
+            cap.gt_model, jnp.asarray(cap.P[:2]), jnp.asarray(cap.K[:2]),
+            (args.width, args.height), final_bias_cfg,
+        )
+        prod_imgs = np.clip(np.asarray(prod_imgs), 0, 1)
+        bias_mse = float(np.mean((prod_imgs - images[:2]) ** 2))
+        bias_psnr_final = round(10 * np.log10(1.0 / max(bias_mse, 1e-12)), 2)
+        log(f"renderer bias at final adapted config "
+            f"(K={final_bias_cfg.max_per_tile}, "
+            f"max_pairs={final_bias_cfg.max_pairs}): {bias_psnr_final} dB "
+            f"(start-of-run, pre-adaptation K={args.max_per_tile}: "
+            f"{bias_psnr} dB)")
+
     summary = {
         "steps": trainer.step,
         "cams": args.cams,
@@ -511,7 +544,12 @@ def main():
             if args.gt == "oracle"
             else "production renderer (self-referential)"
         ),
-        "renderer_bias_psnr_prod_vs_oracle": bias_psnr,
+        # *_start is measured at launch with the PRE-adaptation K on the GT
+        # model (heavy truncation at fine-GT scales — a statement about that
+        # K, not about renderer agreement); *_final is the honest number,
+        # re-measured at the end-of-run adapted config (VERDICT r4 weak #4)
+        "renderer_bias_psnr_prod_vs_oracle_start": bias_psnr,
+        "renderer_bias_psnr_prod_vs_oracle_final": bias_psnr_final,
         "final_max_per_tile": trainer.render_cfg.max_per_tile,
         "final_max_pairs": trainer.render_cfg.max_pairs,
         "gt_gaussians": n_gt,

@@ -20,6 +20,15 @@ class TrainConfig:
     densify_until_iter: int = 15_000  # round(iterations / 2), gs_control.py:30
     densification_interval: int = 100
     opacity_reset_interval: int = 3000
+    # 0 = reference parity: resets fire for the WHOLE run (gs_control.py:
+    # 206-207 applies the reset outside the densify gate — including on the
+    # final step). >0 = official-3DGS gating: resets fire only while
+    # step < opacity_reset_until (official resets live inside the densify
+    # block, i.e. while iteration < densify_until_iter). Gating by step —
+    # rather than zeroing opacity_reset_interval at runtime — keeps the
+    # interval-derived size_active big-point prunes (trainer.run_step) alive
+    # through the rest of the densify phase, matching official 3DGS.
+    opacity_reset_until: int = 0
 
     # loss (gs_control.py:29, :180-182)
     loss_lambda: float = 0.2

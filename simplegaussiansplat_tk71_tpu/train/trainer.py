@@ -618,6 +618,11 @@ class Trainer:
         if (
             cfg.opacity_reset_interval
             and self.step % cfg.opacity_reset_interval == 0
+            # official-3DGS gating (opacity_reset_until > 0): resets only
+            # while step < until — a reset at exactly step == until would be
+            # outside the official densify-gated block (config.py)
+            and (cfg.opacity_reset_until <= 0
+                 or self.step < cfg.opacity_reset_until)
         ):
             self.model = reset_opacity(self.model, cfg.reset_opacity_min)
             if cfg.preserve_adam_on_densify:
