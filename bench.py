@@ -67,9 +67,12 @@ def main():
     rcfg = RenderConfig(
         tile_size=16,
         max_per_tile=int(os.environ.get("SGS_BENCH_K", "1024")),
-        # ~1.12x the scene's actual pair count (1.96M); every pair-sized op
-        # scales with this capacity, and overflow is counted, never silent
-        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2200000")),
+        # ~1.045x the scene's actual pair count (1.96M); every pair-sized op
+        # (both 2.2M-row sorts, the expand, the pair-space backward) scales
+        # linearly with this STATIC capacity, so it is kept tight; overflow
+        # is counted in aux.dropped_pairs, never silent (r5: 2.2M -> 2.048M
+        # after VERDICT r4 next #2 — sort time is linear in the buffer)
+        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", "2048000")),
         tile_chunk=125,
         use_pallas=os.environ.get("SGS_BENCH_PALLAS", "1") == "1",
         # official-3DGS alpha floor: pairs that cannot reach 1/255 anywhere

@@ -288,6 +288,67 @@ def _suffix_sum_mxu(wk, D, triu):
 # the MXU wins; env-tunable for re-measurement.
 BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
 
+# backward attribute-gradient reduction: 'mxu' = the six per-slot pixel
+# reductions (d mean2d, d conic, d opacity) ride ONE ones-vector matmul on
+# the MXU; 'vpu' = six separate lane-reduction chains (round-4 and earlier).
+# The mxu path forms every product (m, m dx, m dy, m dx^2, m dxdy, m dy^2)
+# elementwise in f32 FIRST — the summands are the same cancellation-free
+# quantities the vpu path reduces, so the only numerical change is summation
+# order (a plain f32 dot against ones at HIGHEST precision); grads agree
+# with the XLA path at the usual ~1e-6 interpret tolerance. Measured on v5e
+# at the 1M bench: composite bwd 22.4 -> 13.6 ms/step (r5 trace).
+BWD_REDUCE = __import__("os").environ.get("SGS_BWD_REDUCE", "mxu")
+
+
+def _moment_grads(blk, m, dx, dy):
+    """(6, D) attribute-gradient rows [d mux, d muy, d ca, d cb, d cc, d op]
+    with all six pixel sums taken in ONE MXU matmul.
+
+    Σ_p m·dx, m·dy, m·dx², m·dxdy, m·dy² and Σ_p m are the dot of a ones
+    row against six stacked (D, P) product arrays — the analytic grads
+    (gs_model.py:733-766) are per-slot linear combinations of exactly these
+    six sums:
+      d mux = ca·Σm dx + cb·Σm dy        d ca = -0.5·Σm dx²
+      d muy = cb·Σm dx + cc·Σm dy        d cb = -Σm dxdy
+      d op  = Σ g·u = (Σ m)/op           d cc = -0.5·Σm dy²
+    (m = op·u·g, so the opacity grad rides the zeroth moment — op is a
+    per-slot constant; op == 0 slots have m == 0 and divide to exactly 0.)
+    The lane-reduction chains this replaces cost ~7 VPU ops per input
+    element each; the matmul costs 6·D·P MACs — noise next to the depth
+    scan's 3·D²·P."""
+    D, P = m.shape
+    mdx = m * dx
+    mdy = m * dy
+    x = jnp.concatenate(
+        [m, mdx, mdy, mdx * dx, mdx * dy, mdy * dy], axis=0
+    )  # (6D, P)
+    s = jax.lax.dot_general(
+        jnp.ones((1, P), jnp.float32), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (1, 6D)
+    s_m = s[:, 0 * D:1 * D]
+    s_dx = s[:, 1 * D:2 * D]
+    s_dy = s[:, 2 * D:3 * D]
+    s_dxx = s[:, 3 * D:4 * D]
+    s_dxy = s[:, 4 * D:5 * D]
+    s_dyy = s[:, 5 * D:6 * D]
+    ca = blk[2:3, :]
+    cb = blk[3:4, :]
+    cc = blk[4:5, :]
+    op = blk[5:6, :]
+    return jnp.concatenate(
+        [
+            ca * s_dx + cb * s_dy,
+            cb * s_dx + cc * s_dy,
+            -0.5 * s_dxx,
+            -s_dxy,
+            -0.5 * s_dyy,
+            s_m / jnp.maximum(op, 1e-30),
+        ],
+        axis=0,
+    )  # (6, D)
+
 # compact pair-space gradient output (composite_tiles_pallas_bwd_pairs):
 # the default since round 2 — the round-1 corruption was two real bugs
 # (uninitialized tail lanes + cull-induced key gaps), both fixed; see the
@@ -329,23 +390,28 @@ def _tile_grads(attrs, gimg, px, py, D, tril, triu):
     u = jnp.where(valid, u, 0.0)
 
     m = op * u * g  # (K, P)
-    ca = attrs[2, :][:, None]
-    cb = attrs[3, :][:, None]
-    cc = attrs[4, :][:, None]
-    g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-    g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-    g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-    g_cb = jnp.sum(-m * dx * dy, axis=1)
-    g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-    g_op = jnp.sum(g * u, axis=1)
     # dL/dcol_c = sum_p gI_c * T * alpha : (3, K)
     g_col = jax.lax.dot_general(
         gimg, w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-    grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
+    if BWD_REDUCE == "mxu":
+        grads = jnp.concatenate(
+            [_moment_grads(attrs, m, dx, dy), g_col], axis=0
+        )  # (9, K)
+    else:
+        ca = attrs[2, :][:, None]
+        cb = attrs[3, :][:, None]
+        cc = attrs[4, :][:, None]
+        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+        g_cb = jnp.sum(-m * dx * dy, axis=1)
+        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+        g_op = jnp.sum(g * u, axis=1)
+        grads = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+        grads = jnp.concatenate([grads, g_col], axis=0)  # (9, K)
     # zero grads of masked slots — ids point at clamped garbage rows
     valid_k = (attrs[5, :] > 0.0).astype(jnp.float32)[None, :]  # (1, K)
     return grads * valid_k
@@ -451,19 +517,24 @@ def _tile_grads_blocked(attrs_ref, at, gimg, px, py, D, triu, lk,
         u = t_excl * ck - suffix / anti_safe
         u = jnp.where(op > 0.0, u, 0.0)
         m = op * u * g
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
         g_col = jax.lax.dot_general(
             gimg, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (3, D)
-        gb = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
-        gb = jnp.concatenate([gb, g_col], axis=0)  # (9, D)
+        if BWD_REDUCE == "mxu":
+            gb = jnp.concatenate(
+                [_moment_grads(blk, m, dx, dy), g_col], axis=0
+            )  # (9, D)
+        else:
+            g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+            g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+            g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+            g_cb = jnp.sum(-m * dx * dy, axis=1)
+            g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+            g_op = jnp.sum(g * u, axis=1)
+            gb = jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0)
+            gb = jnp.concatenate([gb, g_col], axis=0)  # (9, D)
         gb = gb * (blk[5, :] > 0.0).astype(jnp.float32)[None, :]
         gb16 = jnp.pad(gb, ((0, NUM_ATTR_ROWS - 9), (0, 0)))
         if gt is None:
@@ -735,21 +806,28 @@ def _backward_kernel_v2(
         valid = op > 0.0
         u = jnp.where(valid, u, 0.0)
         m = op * u * g
-        g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
-        g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
-        g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
-        g_cb = jnp.sum(-m * dx * dy, axis=1)
-        g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
-        g_op = jnp.sum(g * u, axis=1)
         g_col = jax.lax.dot_general(
             gimg, t_excl * alpha, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (3, D)
-        grads = jnp.concatenate(
-            [jnp.stack([g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0), g_col],
-            axis=0,
-        )  # (9, D)
+        if BWD_REDUCE == "mxu":
+            grads = jnp.concatenate(
+                [_moment_grads(blk, m, dx, dy), g_col], axis=0
+            )  # (9, D)
+        else:
+            g_mux = jnp.sum(m * (ca * dx + cb * dy), axis=1)
+            g_muy = jnp.sum(m * (cb * dx + cc * dy), axis=1)
+            g_ca = jnp.sum(-0.5 * m * dx * dx, axis=1)
+            g_cb = jnp.sum(-m * dx * dy, axis=1)
+            g_cc = jnp.sum(-0.5 * m * dy * dy, axis=1)
+            g_op = jnp.sum(g * u, axis=1)
+            grads = jnp.concatenate(
+                [jnp.stack(
+                    [g_mux, g_muy, g_ca, g_cb, g_cc, g_op], axis=0
+                ), g_col],
+                axis=0,
+            )  # (9, D)
         valid_k = valid.astype(jnp.float32)[:, 0][None, :]
         grads = grads * valid_k
         start = pl.multiple_of(kb * D, D)
