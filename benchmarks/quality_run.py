@@ -388,8 +388,19 @@ def main():
         return rec
 
     # metric buffering: run_step returns device scalars; fetch in bulk every
-    # flush_every steps (a per-step scalar fetch costs a full RPC round trip
-    # on the tunneled TPU)
+    # flush_every steps. Each step's metrics are PACKED INTO ONE device
+    # array first — a dict of ~7 separate device scalars costs ~7 RPC round
+    # trips per step at fetch time over the tunnel (~26 ms each), which made
+    # the r5 tail run at 0.36 s/step wall against a ~4 ms device step until
+    # this fix (the round-4 buffering only amortized the HOST-side sync, not
+    # the per-buffer RPCs)
+    _METRIC_KEYS = (
+        "loss", "psnr", "l1", "dssim", "truncated", "grads_finite",
+    )
+
+    def _pack_metrics(m):
+        return jnp.stack([m[k].astype(jnp.float32) for k in _METRIC_KEYS])
+
     buf = []
     mfile = open(f"{args.out}/metrics.jsonl", "a")
     t_train = time.time()
@@ -401,27 +412,30 @@ def main():
             return
         vals = jax.device_get(buf)
         for step_i, alive_i, dt_i, m, idx_i in vals:
+            loss_i, psnr_i, l1_i, dssim_i, trunc_i, ok_i = (
+                float(x) for x in m
+            )
             rec = {
                 "step": step_i,
-                "loss": round(float(m["loss"]), 5),
-                "psnr": round(float(m["psnr"]), 3),
-                "l1": round(float(m["l1"]), 5),
-                "dssim": round(float(m["dssim"]), 5),
+                "loss": round(loss_i, 5),
+                "psnr": round(psnr_i, 3),
+                "l1": round(l1_i, 5),
+                "dssim": round(dssim_i, 5),
                 "alive": alive_i,
-                "truncated": int(m["truncated"]),
+                "truncated": int(trunc_i),
                 "sec_per_it": dt_i,
             }
             mfile.write(json.dumps(rec) + "\n")
-            if not bool(m["grads_finite"]):
+            if not ok_i:
                 # update was skipped (trainer rolls back params/opt/stats);
                 # the camera indices identify the batch for a repro harness
                 log(f"WARNING: non-finite step {step_i} SKIPPED "
                     f"(cams {[int(c) for c in idx_i]}, "
-                    f"loss {float(m['loss']):.3e})")
+                    f"loss {loss_i:.3e})")
         mfile.flush()
         last = vals[-1][3]
-        log(f"step {vals[-1][0]}: loss={float(last['loss']):.5f} "
-            f"psnr={float(last['psnr']):.2f} alive={vals[-1][1]} "
+        log(f"step {vals[-1][0]}: loss={float(last[0]):.5f} "
+            f"psnr={float(last[1]):.2f} alive={vals[-1][1]} "
             f"{vals[-1][2]:.3f}s/it "
             f"({(time.time() - t_train) / 60:.1f} min)")
         buf = []
@@ -449,7 +463,9 @@ def main():
         m = trainer.run_step(P, K, imgs)
         dt = round(time.time() - t_step, 4)
         t_step = time.time()
-        buf.append((trainer.step, trainer.n_alive, dt, m, list(idx)))
+        buf.append(
+            (trainer.step, trainer.n_alive, dt, _pack_metrics(m), list(idx))
+        )
         if trainer.model.capacity != step_before_cap:
             flush()  # donation: buffers from the old graph stay fetchable
         if len(buf) >= args.flush_every:
