@@ -50,9 +50,15 @@ def main():
     target = jnp.asarray(rng.uniform(0, 1, (1, H, W, 3)).astype(np.float32))
 
     cfg = TrainConfig()
+    # mirror bench.py's config (incl. its env knobs) so the trace anchors
+    # the same step the BENCH_r* numbers measure
     rcfg = RenderConfig(
-        tile_size=16, max_per_tile=1024, max_pairs=2_200_000,
-        tile_chunk=125, use_pallas=True,
+        tile_size=16,
+        max_per_tile=int(os.environ.get("SGS_BENCH_K", "1024")),
+        max_pairs=int(os.environ.get("SGS_BENCH_MAX_PAIRS", str(2**21))),
+        tile_chunk=125,
+        use_pallas=True,
+        cull_alpha_min=float(os.environ.get("SGS_BENCH_CULL", str(1 / 255))),
     )
     opt = make_optimizer(cfg)
     step = make_train_step(cfg, rcfg, (W, H), opt)

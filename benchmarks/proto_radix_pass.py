@@ -64,10 +64,18 @@ def _permute_kernel(x_ref, out_ref):
         preferred_element_type=jnp.float32,
     )  # (B, NDIG): prev[i, d] = # rows j < i with digit d  (exact: 0/1 sums)
     rank_within = jnp.sum(prev * onehot, axis=1)  # (B,)
-    counts = jnp.sum(onehot, axis=0)  # (NDIG,)
-    starts = jnp.cumsum(counts) - counts  # exclusive digit starts in block
+    counts = jnp.sum(onehot, axis=0, keepdims=True)  # (1, NDIG)
+    # exclusive digit starts via a strict-lower-tri matmul (Mosaic has no
+    # cumsum primitive); counts are small ints — exact in one bf16 pass
+    dr = jax.lax.broadcasted_iota(jnp.int32, (NDIG, NDIG), 0)
+    dc = jax.lax.broadcasted_iota(jnp.int32, (NDIG, NDIG), 1)
+    tril_d = (dr < dc).astype(jnp.bfloat16)
+    starts = jax.lax.dot_general(
+        counts.astype(jnp.bfloat16), tril_d, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (1, NDIG) exclusive
     dest = (
-        jnp.sum(starts[None, :] * onehot, axis=1) + rank_within
+        jnp.sum(starts * onehot, axis=1) + rank_within
     ).astype(jnp.int32)  # (B,)
     # permutation one-hot M with M[i, dest[i]] = 1: out = payload @ M
     m = (dest[:, None] == c[:B, :]).astype(jnp.float32)
@@ -91,19 +99,23 @@ def _flush_kernel(nprog, sched_ref, x_ref, out_ref, stage, sem):
     HBM lane offset (or -1). The staging buffer content is fake (one block's
     payload reused) — kernel B measures ISSUE + completion cost of the
     expected number of (NC, 128)-window copies, not data correctness."""
+    import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s = pl.program_id(0)
+    srow = jax.lax.rem(s, 8)
     stage[...] = x_ref[0, :, :128]
     for d in range(NDIG):
-        off = sched_ref[s * NDIG + d]
+        off = sched_ref[srow, d]
 
         @pl.when(off >= 0)
         def _():
             cp = pltpu.make_async_copy(
-                stage, out_ref.at[:, pl.ds(off, 128)], sem
+                stage,
+                out_ref.at[:, pl.ds(pl.multiple_of(off, 128), 128)],
+                sem,
             )
             cp.start()
             cp.wait()
@@ -126,6 +138,7 @@ def main():
 
     P = -(-args.rows // B) * B
     nb = P // B
+    nb8 = -(-nb // 8) * 8
     rng = np.random.default_rng(0)
     x = rng.uniform(0.0, 1.0, (nb, NC, B)).astype(np.float32)
     digits = rng.integers(0, NDIG, (nb, B))
@@ -161,8 +174,8 @@ def main():
     ms_a = (time.time() - t0) / args.iters * 1e3
 
     # kernel B: expected flush rate ~ NDIG * (B/NDIG) / 128 = B/128 = 2/block
-    sched = np.full((nb * NDIG,), -1, np.int32)
-    flush_mask = rng.uniform(size=(nb * NDIG,)) < (B / NDIG) / 128.0
+    sched = np.full((nb8, NDIG), -1, np.int32)
+    flush_mask = rng.uniform(size=(nb8, NDIG)) < (B / NDIG) / 128.0
     n_flush = int(flush_mask.sum())
     out_lanes = P + 128
     sched[flush_mask] = (
@@ -171,8 +184,11 @@ def main():
     flush = pl.pallas_call(
         functools.partial(_flush_kernel, nb),
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec((1, NC, B), lambda i: (i, 0, 0))],
+        in_specs=[
+            pl.BlockSpec((8, NDIG), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NC, B), lambda i: (i, 0, 0)),
+        ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((NC, out_lanes), jnp.float32),
         scratch_shapes=[

@@ -394,13 +394,9 @@ def main():
     # the r5 tail run at 0.36 s/step wall against a ~4 ms device step until
     # this fix (the round-4 buffering only amortized the HOST-side sync, not
     # the per-buffer RPCs)
-    _METRIC_KEYS = (
-        "loss", "psnr", "l1", "dssim", "truncated", "grads_finite",
-    )
-
-    def _pack_metrics(m):
-        return jnp.stack([m[k].astype(jnp.float32) for k in _METRIC_KEYS])
-
+    # rows of m["packed"] (train/trainer.py): loss, psnr, l1, dssim,
+    # truncated, grads_finite — packed INSIDE the jitted step (host-side
+    # stacking dispatches ~8 tiny device ops per step, each its own RPC)
     buf = []
     mfile = open(f"{args.out}/metrics.jsonl", "a")
     t_train = time.time()
@@ -413,7 +409,7 @@ def main():
         vals = jax.device_get(buf)
         for step_i, alive_i, dt_i, m, idx_i in vals:
             loss_i, psnr_i, l1_i, dssim_i, trunc_i, ok_i = (
-                float(x) for x in m
+                float(x) for x in np.asarray(m)
             )
             rec = {
                 "step": step_i,
@@ -464,7 +460,7 @@ def main():
         dt = round(time.time() - t_step, 4)
         t_step = time.time()
         buf.append(
-            (trainer.step, trainer.n_alive, dt, _pack_metrics(m), list(idx))
+            (trainer.step, trainer.n_alive, dt, m["packed"], list(idx))
         )
         if trainer.model.capacity != step_before_cap:
             flush()  # donation: buffers from the old graph stay fetchable

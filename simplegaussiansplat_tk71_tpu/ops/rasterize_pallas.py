@@ -288,16 +288,17 @@ def _suffix_sum_mxu(wk, D, triu):
 # the MXU wins; env-tunable for re-measurement.
 BWD_IMPL = __import__("os").environ.get("SGS_BWD_IMPL", "mxu_sfx")
 
-# backward attribute-gradient reduction: 'mxu' = the six per-slot pixel
-# reductions (d mean2d, d conic, d opacity) ride ONE ones-vector matmul on
-# the MXU; 'vpu' = six separate lane-reduction chains (round-4 and earlier).
-# The mxu path forms every product (m, m dx, m dy, m dx^2, m dxdy, m dy^2)
-# elementwise in f32 FIRST — the summands are the same cancellation-free
-# quantities the vpu path reduces, so the only numerical change is summation
-# order (a plain f32 dot against ones at HIGHEST precision); grads agree
-# with the XLA path at the usual ~1e-6 interpret tolerance. Measured on v5e
-# at the 1M bench: composite bwd 22.4 -> 13.6 ms/step (r5 trace).
-BWD_REDUCE = __import__("os").environ.get("SGS_BWD_REDUCE", "mxu")
+# backward attribute-gradient reduction: 'vpu' (default) = six lane-
+# reduction chains; 'mxu' = the six pixel sums ride ONE ones-vector matmul.
+# MEASURED on v5e at the 1M bench (2026-08-21): vpu 95.1 ms/step, mxu
+# 113.0 — the mxu idea LOSES ~18 ms. Two reasons, kept here so it is not
+# re-attempted: (1) a ones-contraction matmul has a unit output dim, and
+# the MXU pads both M and N to 128 — the (6K, P) x (P, 1) "reduction"
+# costs ~128x its useful MACs; (2) VPU lane reductions are ~7 shuffle-add
+# steps per VREG (not per element), i.e. ~0.4 ops/element — far cheaper
+# than the per-element mental model suggests. The env knob remains for
+# re-measurement on future hardware.
+BWD_REDUCE = __import__("os").environ.get("SGS_BWD_REDUCE", "vpu")
 
 
 def _moment_grads(blk, m, dx, dy):

@@ -225,15 +225,25 @@ def make_train_step(config: TrainConfig, render_cfg: RenderConfig, img_wh, optim
         # NaN sweep the reference keeps commented (check_nan,
         # gs_model.py:822-829) — here a single cheap reduced flag per step
         grads_finite = ok
+        psnr = 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
+        truncated = jnp.sum(aux.truncated)
         metrics = {
             "loss": loss,
             "l1": l1,
             "dssim": dssim,
-            "psnr": 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)),
+            "psnr": psnr,
             "grads_finite": grads_finite,
             "dropped_pairs": jnp.sum(aux.dropped_pairs),
-            "truncated": jnp.sum(aux.truncated),
+            "truncated": truncated,
         }
+        # one fetchable array per step for metric-buffering drivers: over the
+        # tunneled TPU every separate device buffer costs a full RPC round
+        # trip at fetch time (~26 ms), so fetching the 7 scalars above per
+        # step dominated the r5 quality-run tail (benchmarks/quality_run.py)
+        metrics["packed"] = jnp.stack([
+            loss, psnr, l1, dssim, truncated.astype(jnp.float32),
+            grads_finite.astype(jnp.float32),
+        ])
         return params, opt_state, stats, metrics
 
     if config.debug_nan_checks:
@@ -364,7 +374,14 @@ class Trainer:
         # truncation adaptation) before the step function is rebuilt
         adapted = {}
         if "extra.max_per_tile" in data:
-            k = int(data["extra.max_per_tile"])
+            # clamp to the CURRENT config's ceiling: restoring lets a run be
+            # resumed with a lower limit (e.g. the post-densify tail after
+            # the population froze — slot-table costs scale with K, and the
+            # adaptation re-raises K only up to the limit if truncation
+            # actually reappears)
+            k = min(
+                int(data["extra.max_per_tile"]), self.config.max_per_tile_limit
+            )
             if k != self.render_cfg.max_per_tile:
                 adapted["max_per_tile"] = k
         if "extra.max_pairs" in data:
