@@ -854,7 +854,7 @@ def composite_tiles_pallas(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
-    tile_block: int = 4,
+    tile_block: int | None = None,
     tile_ids=None,
 ):
     """attrs: (T, A, K) packed per-tile gathered attributes (see module doc).
@@ -863,6 +863,10 @@ def composite_tiles_pallas(
     program to amortize per-program overhead); an int selects the blocked
     kernel with transmittance early-out below t_eps. tile_ids (optional,
     (T,) int32) gives the global tile id per row for sharded tile subsets."""
+    if tile_block is None:
+        # per-program tile batching amortizes grid/DMA overhead; measured
+        # optimum on the v5e 1M bench is 4 (SGS_TILE_BLOCK for A/Bs)
+        tile_block = int(__import__("os").environ.get("SGS_TILE_BLOCK", "4"))
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -933,7 +937,7 @@ def composite_tiles_pallas_bwd(
     depth_block: int | None = None,
     t_eps: float = 1e-4,
     seg_len=None,
-    tile_block: int = 4,
+    tile_block: int | None = None,
     tile_ids=None,
 ):
     """g_tiles: (T, 8, P) cotangent of the padded tile images.
@@ -941,6 +945,10 @@ def composite_tiles_pallas_bwd(
     K depth slots — the unpadded HBM layout; rows 0..8 are the used
     channels, sliced out as contiguous (T*K,) columns by the sort-based
     routing)."""
+    if tile_block is None:
+        # per-program tile batching amortizes grid/DMA overhead; measured
+        # optimum on the v5e 1M bench is 4 (SGS_TILE_BLOCK for A/Bs)
+        tile_block = int(__import__("os").environ.get("SGS_TILE_BLOCK", "4"))
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size
@@ -1020,7 +1028,7 @@ def composite_tiles_pallas_bwd_pairs(
     pixel_offset: float,
     seg_len,
     pc: int,
-    tile_block: int = 4,
+    tile_block: int | None = None,
     tile_ids=None,
 ):
     """Backward with COMPACT PAIR-SPACE output (see _backward_kernel_pairs):
@@ -1028,6 +1036,10 @@ def composite_tiles_pallas_bwd_pairs(
     float(key + 1) segment key — where tile t's in-table slots occupy
     [slot_start[t], slot_start[t+1]), slot_start = cumsum(min(seg_len, K)).
     ``pc`` must statically bound sum(min(seg_len, K)) (min(max_pairs, T*K))."""
+    if tile_block is None:
+        # per-program tile batching amortizes grid/DMA overhead; measured
+        # optimum on the v5e 1M bench is 4 (SGS_TILE_BLOCK for A/Bs)
+        tile_block = int(__import__("os").environ.get("SGS_TILE_BLOCK", "4"))
     T, A, K = attrs.shape
     width, height = int(img_wh[0]), int(img_wh[1])
     ts = tile_size

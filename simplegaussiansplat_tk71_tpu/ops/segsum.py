@@ -59,14 +59,19 @@ def _segsum_kernel(B, C, inner, nprog, cols_layout, vals_ref, keys_ref,
         last_rank_ref[0] = -1
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    rf0 = jnp.min(keys_ref[0:B, 0])
+    rf0 = jnp.min(keys_ref[0, 0:B])
     for i in range(inner):
-        keys = keys_ref[i * B:(i + 1) * B, 0]  # (B,) int32, sorted
+        # keys ride as a (1, B) LANE vector: the sort emits 1-D keys, and a
+        # (P, 1) sublane layout forced a 1.6 ms HBM relayout copy per step
+        # (r5 trace, copy.45). The one-hot is built transposed ([r, j]) so
+        # no in-kernel transpose is needed either.
+        keys = keys_ref[0, i * B:(i + 1) * B]  # (1-lane slice) int32, sorted
         rf = jnp.min(keys)
         rl = jnp.max(keys)
-        local = (keys - rf)[:, None]  # (B, 1) in [0, B)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-        onehot = (local == cols).astype(jnp.float32)  # (B, B): [j, r]
+        r_sub = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        onehot = (r_sub == (keys - rf)[None, :]).astype(
+            jnp.float32
+        )  # (B, B): [r, j]
         # the TPU DEFAULT precision truncates f32 matmul inputs to one bf16
         # pass (rounds every gradient row to ~3 digits); the bf16x3 split of
         # the value operand against the bf16-exact one-hot keeps the sums
@@ -74,12 +79,12 @@ def _segsum_kernel(B, C, inner, nprog, cols_layout, vals_ref, keys_ref,
         if cols_layout:
             vals = vals_ref[:, i * B:(i + 1) * B]  # (C, B)
             sums = onehot_matmul(
-                vals, onehot, (((0,), (1,)), ((), ())), transpose=True
+                vals, onehot, (((1,), (1,)), ((), ())), transpose=True
             )  # (B, C) per local rank
         else:
             vals = vals_ref[i * B:(i + 1) * B, :]  # (B, C)
             sums = onehot_matmul(
-                vals, onehot, (((0,), (0,)), ((), ())), transpose=True
+                vals, onehot, (((1,), (0,)), ((), ())), transpose=True
             )  # (B, C) per local rank
         # fold the carried partial of the previous block's last rank into
         # local row 0 when that rank continues into this block
@@ -156,6 +161,10 @@ def segment_sum_sorted(
         pad = ((0, 0), (0, P_pad - P)) if cols_layout else ((0, P_pad - P), (0, 0))
         vals = jnp.pad(vals, pad)
         keys = jnp.pad(keys, (0, P_pad - P), constant_values=N - 1)
+    # keys enter the kernel as a (1, P) LANE row: a (P, 1) sublane layout
+    # forces XLA to relayout the sort's 1-D key output in HBM (1.6 ms/step
+    # at the 1M bench, r5 trace copy.45)
+    keys = keys.reshape(1, P_pad)
     nprog = P_pad // step
     kernel = functools.partial(
         _segsum_kernel, block, C, inner, nprog, cols_layout
@@ -171,7 +180,7 @@ def segment_sum_sorted(
         in_specs=[
             vals_spec,
             pl.BlockSpec(
-                (step, 1), lambda s: (s, 0), memory_space=pltpu.VMEM
+                (1, step), lambda s: (0, s), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -182,7 +191,7 @@ def segment_sum_sorted(
             pltpu.SMEM((1,), jnp.int32),  # last rank
             pltpu.SemaphoreType.DMA,
         ],
-    )(vals, keys[:, None])
+    )(vals, keys)
     if raw:
         return out
     return out[:N, :C]
