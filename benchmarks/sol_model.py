@@ -2,8 +2,10 @@
 
 For every pipeline stage at the headline bench config (1M gaussians, 800x800,
 K=1024, ~2.2M surviving pairs) this prints: measured per-step device time
-(from the round-4 device trace, 2026-08-21: benchmarks/profile_trace.py ->
-parse_trace.py, docs/artifacts/trace_r4.json; 108.5 ms step span), modeled HBM bytes moved,
+(from the round-5 device trace, 2026-08-21: benchmarks/profile_trace.py ->
+parse_trace.py, docs/artifacts/trace_r5.json; 91.4 ms step span — after the
+max_pairs power-of-two fix, 2.2M -> 2^21, which halved both lax.sorts:
+lax.sort PADS TO THE NEXT POWER OF TWO), modeled HBM bytes moved,
 modeled MXU flops, the bound that dominates, the speed-of-light time on a
 v5e chip, and % of SoL achieved.
 
@@ -29,7 +31,7 @@ VPU = 3.2e12  # f32 elementwise flop/s (8x128 vregs x ~4 ALUs x ~0.8 GHz);
 
 # bench-scale shape constants
 N = 1_000_000  # gaussians
-PAIRS = 2_200_000  # surviving (tile, gaussian) pairs after the 1/255 cull
+PAIRS = 2_097_152  # pair-buffer capacity (2^21; true pairs ~1.96M after cull)
 T = 50 * 50  # 16x16 tiles over 800x800
 PTILE = 256  # pixels per tile
 K = 1024  # per-tile slot capacity
@@ -72,7 +74,7 @@ def stage_rows():
     # Binning pair expansion (expand_spans 17-col one-hot MXU windows):
     # one read of the N-row rect table + one write of the PAIRS x 17 stream.
     add(
-        "binning expand", 6.2,
+        "binning expand", 6.0,
         (N * 6 + PAIRS * 17) * f4, PAIRS * 17 * 2 * 128,
         "one-hot matmul windows; flops = 128-wide one-hot MACs",
     )
@@ -80,10 +82,18 @@ def stage_rows():
     # Binning sort: 1 packed key + 11 payload cols over PAIRS rows.
     # SoL model = LSD radix, 4 passes of 8 bits, read+write per pass.
     add(
-        "binning sort (2-key packed, 11 payloads)", 19.3,
+        "binning sort (packed key, 11 payloads)", 13.6,
         4 * 2 * PAIRS * 12 * f4, 0,
-        "XLA lax.sort runs ~21 comparator passes at ~5 GB/s effective; "
-        "SoL modeled as a 4-pass radix partition",
+        "XLA lax.sort; the radix-partition SoL row is kept for continuity "
+        "but the radix was REFUTED on device (proto_radix_pass: one "
+        "placement pass measures 71 ms vs the 2.2 ms model)",
+    )
+
+    # Pair-window attr table (windowed DMA gather into (T, 16, K)).
+    add(
+        "pair attr table", 2.2,
+        (PAIRS * 10 + T * 16 * K) * f4, 0,
+        "aligned-window DMA kernel (pair_attrs_to_table)",
     )
 
     # Composite forward: per-tile VMEM pipeline; HBM = attr stream in + image
@@ -94,7 +104,7 @@ def stage_rows():
     seg = PAIRS / T  # ~880 at bench scale
     tri = 3 * 2 * D * D * PTILE * (seg // D + 1) * T
     add(
-        "composite fwd", 16.4,
+        "composite fwd", 14.6,
         (PAIRS * 10 + T * 8 * PTILE) * f4, tri,
         "MXU = log-space tri-matmul scans (bf16x3); VPU = Gauss-kernel "
         "eval, ~25 flop per (slot, pixel)",
@@ -114,9 +124,10 @@ def stage_rows():
 
     # Grad routing: sort the (PAIRS, 10) grad stream by carried segment key...
     add(
-        "grad-routing sort (incl. cond glue)", 23.8,
+        "grad-routing sort (incl. cond glue)", 15.0,
         4 * 2 * PAIRS * 10 * f4, 0,
-        "same radix SoL model as the binning sort",
+        "cond envelope: 12.0 lean sort + 2.5 in-branch segsum + glue; "
+        "same (refuted) radix SoL model as the binning sort",
     )
 
     # Segment sum pair->gaussian (MXU one-hot windows): read PAIRS x 9, write
@@ -130,7 +141,7 @@ def stage_rows():
     # Adam + stats + loss (SSIM conv) + host glue: the trace's "other"
     # bucket (12.57 ms) minus the separately-rowed projection (2.2).
     add(
-        "optimizer+stats+loss tail", 10.4,
+        "optimizer+stats+loss tail", 8.9,
         (N * 14 * 3 * 2) * f4 + PIX * 3 * 20 * f4, PIX * 3 * 120,
         "Adam reads/writes mu/nu/param per col; SSIM separable conv",
     )
@@ -139,7 +150,7 @@ def stage_rows():
     # lookup) — measured directly in the r4 trace buckets.
     add(
         "copies/pads + searchsorted",
-        9.2,
+        7.8,
         2 * PAIRS * 11 * f4, 0,
         "XLA-inserted copies/pads between ops; while-loop owner lookups",
     )
