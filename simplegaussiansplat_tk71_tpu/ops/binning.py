@@ -94,7 +94,11 @@ def bin_gaussians(
         (component-major, ops/projection layout);
       depth: (N,) camera z (positive where valid); valid: (N,) cull mask.
       img_wh: (width, height) static ints (any size; tile grid is ceil).
-      max_pairs: static capacity of the pair list (default 8*N).
+      max_pairs: static capacity of the pair list (default 8*N). Keep it AT
+        OR JUST UNDER A POWER OF TWO: lax.sort pads its operands to the
+        next power of two, so a 2.2M buffer silently sorts 4.19M rows
+        (round-5 NOTES — shrinking the bench buffer to 2^21 cut the train
+        step 108.8 -> 95.1 ms, entirely in the two pair sorts).
       max_per_tile: static depth-list length K per tile.
       build_table: also gather the (T, K) id table + mask (XLA path).
       attrs: optional (A, N) f32 per-gaussian render attributes to carry

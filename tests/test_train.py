@@ -153,3 +153,40 @@ def test_load_reference_pt(tmp_path):
         files["color.pt"].reshape(n, -1),
         rtol=1e-6,
     )
+
+
+def test_opacity_reset_until_gates_by_step():
+    """Round-5 (ADVICE r4 medium): official-3DGS reset gating rides
+    TrainConfig.opacity_reset_until (resets fire only while
+    step < until) instead of zeroing opacity_reset_interval at runtime —
+    zeroing also disabled the interval-derived size_active big-point
+    prunes for the rest of the densify phase."""
+    from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
+    from simplegaussiansplat_tk71_tpu.train.config import TrainConfig
+    from simplegaussiansplat_tk71_tpu.train.trainer import Trainer
+    from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
+    from simplegaussiansplat_tk71_tpu.utils.knn import knn_mean_dist
+
+    gt, scene, images = _synthetic_scene()
+    ds = SceneDataset(scene, images=images)
+    cfg = TrainConfig(
+        tile_size=16, max_per_tile=64, tile_chunk=2,
+        densify_from_iter=10_000, densify_until_iter=10_000,  # no densify
+        opacity_reset_interval=2, opacity_reset_until=4,
+    )
+    model = init_from_points(
+        scene.xyz, knn_mean_dist(scene.xyz, 3), capacity=64
+    )
+    resets = []
+    tr = Trainer(
+        model, ds, cfg,
+        log_fn=lambda m: resets.append(m) if "opacity reset" in m else None,
+    )
+    for P, K, imgs, _ in ds.batches(cfg.batch_size, seed=0):
+        tr.run_step(P, K, imgs)
+        if tr.step >= 6:
+            break
+    # interval 2, until 4: resets at step 2 only (step 4 == until is
+    # excluded — official resets live strictly inside the densify window)
+    assert len(resets) == 1, resets
+    assert "@ 2" in resets[0]
