@@ -93,6 +93,7 @@ def _run_cli(*args):
     )
 
 
+@pytest.mark.slow
 def test_full_cli_workflow(tmp_path):
     scene = _write_colmap_scene(str(tmp_path / "scene"))
     out = str(tmp_path / "run")

@@ -7,6 +7,7 @@ step across optimizer re-inits.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -215,6 +216,7 @@ def test_adam_src_and_remap():
     assert sched and all(int(c) == 500 for c in sched)
 
 
+@pytest.mark.slow
 def test_position_lr_tracks_global_step_across_densify():
     """Round-1/2 bug: _reinit_opt at densify events restarted the optax
     schedule count, freezing the position lr at lr_init forever."""
@@ -263,6 +265,7 @@ def test_position_lr_tracks_global_step_across_densify():
     assert counts2 and all(c == tr2.step for c in counts2)
 
 
+@pytest.mark.slow
 def test_restore_legacy_checkpoint_without_new_stats(tmp_path):
     """Checkpoints from before the round-3 stats extension restore with the
     new stat fields zeroed."""
@@ -304,6 +307,7 @@ def test_restore_legacy_checkpoint_without_new_stats(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_adaptive_max_per_tile_doubles_on_truncation():
     """Persistent per-tile truncation doubles K at the densify boundary
     (VERDICT round-2 weak #2: truncation was reported but never acted on)."""

@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
 from simplegaussiansplat_tk71_tpu.models.gaussians import init_from_points
@@ -18,6 +19,7 @@ def test_latest_checkpoint(tmp_path):
     assert latest_checkpoint(str(tmp_path)).endswith("ckpt_1000.npz")
 
 
+@pytest.mark.slow
 def test_restore_resumes_training(tmp_path):
     gt, scene, images = _synthetic_scene(seed=8)
     ds = SceneDataset(scene, images=images)

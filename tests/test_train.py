@@ -1,6 +1,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from simplegaussiansplat_tk71_tpu.data.dataset import SceneDataset
@@ -74,6 +75,7 @@ def test_training_reduces_loss():
     assert last < 0.5 * first, (first, last)
 
 
+@pytest.mark.slow
 def test_densify_in_loop_keeps_training():
     # gauss scale 0.1 << 0.1 * extent (~0.16 spread*2): splits survive pruning
     gt, scene, images = _synthetic_scene(seed=3, gauss_scale=0.1, cam_spread=2.0)
